@@ -3,14 +3,19 @@
 This is the no-cluster distributed-test backend (SURVEY.md §4): multi-chip
 sharding logic is exercised on host CPU devices; numerical accuracy tests use
 x64.  Real-TPU runs (bench.py) use float32 and are not affected.
+
+Note: the environment pre-registers a TPU backend via sitecustomize before
+pytest imports this file, so setting JAX_PLATFORMS in os.environ is too late —
+we must force the platform through jax.config.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
