@@ -315,8 +315,15 @@ def _make_wedge() -> GeomElem:
                     np.array([1.0 / 3.0, 1.0 / 3.0, 0.0]))
 
 
+def _make_point() -> GeomElem:
+    ref = np.zeros((1, 0))
+    one = np.array([0])
+    fam = {"linear": one, "serendipity": one, "biquadratic": one}
+    return GeomElem("point", 0, 1, ref, fam, (), np.zeros((1, 1, 0)), np.zeros(0))
+
+
 GEOMS: Dict[str, GeomElem] = {
-    g.name: g for g in (_make_edge(), _make_quad(), _make_tri(),
+    g.name: g for g in (_make_point(), _make_edge(), _make_quad(), _make_tri(),
                         _make_hex(), _make_tet(), _make_wedge())
 }
 
