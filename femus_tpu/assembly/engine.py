@@ -1,0 +1,369 @@
+"""Batched element assembly engine.
+
+This replaces the reference's per-element assembly callbacks + adept reverse
+AD (canonical: AssembleNavierStokes_AD, 03_navier_stokes.hpp:21-438; generic
+wrapper Assemble_jacobian.hpp:31) with ONE jitted batched kernel per mesh
+level (SURVEY.md §3.3 "TPU translation target"):
+
+  gather element dof slabs  ->  vmapped quadrature contraction of the weak
+  form  ->  ``jax.jacfwd`` of the element residual (the AD-tape analogue of
+  the reference's per-element adept recording)  ->  deterministic scatter
+  into the ELL value array + residual segment-sum.
+
+The weak form is a pure function ``form(ops, u, aux) -> residuals`` where
+``ops`` is an :class:`ElemOps` (the analogue of the reference's
+Jacobian/JacobianSur pre-evaluation, ElemType.hpp:285-360), ``u`` maps
+unknown names to element-local dof vectors, and ``aux`` carries auxiliary
+fields (old solutions, coupled fields) and scalars (dt, nu, ...).
+
+Block layout: unknowns are stacked into one global dof vector with static
+per-variable offsets — the reference's KKoffset/KKIndex scheme
+(LinearEquation.hpp:122-125), kept because it makes field-split trivial.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fe.geom import GEOMS
+from ..fe.tabulate import face_trace_nodes, tabulate, tabulate_at
+from ..fe.quadrature import gauss
+from ..algebra.sparse import EllPattern, SparseOp, op_from_pattern, pattern_from_pairs
+
+GEO_FAMILY = "biquadratic"   # isoparametric geometry representation
+
+
+@dataclasses.dataclass(frozen=True)
+class Unknown:
+    """A scalar unknown field: name + FE family (MultiLevelSolution.AddSolution
+    semantics, MultiLevelSolution.hpp:65-85)."""
+    name: str
+    family: str = "biquadratic"
+
+
+class ElemOps:
+    """Per-element quadrature operations (built inside vmap; all arrays are
+    per-element views of static tabulations)."""
+
+    def __init__(self, tabs: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]],
+                 weights: jnp.ndarray, coords: jnp.ndarray, dim: int):
+        self.dim = dim
+        gphi, gdphi = tabs[GEO_FAMILY]
+        # geometric map: J[q, d, x] = dx_x / dxi_d
+        J = jnp.einsum("qnd,nx->qdx", gdphi, coords)
+        detJ = jnp.linalg.det(J)
+        invJ = jnp.linalg.inv(J)                      # invJ[q, x, d] = ...
+        self.x = gphi @ coords                        # (nq, dim) physical qp
+        self.wdet = weights * jnp.abs(detJ)           # (nq,)
+        self._phi = {f: t[0] for f, t in tabs.items()}
+        # physical gradients: dphi[q, n, x] = dphi_ref[q,n,d] * dxi_d/dx_x
+        self._dphi = {f: jnp.einsum("qnd,qxd->qnx", t[1], invJ)
+                      for f, t in tabs.items()}
+
+    # ---- interpolation -------------------------------------------------
+    def value(self, fam: str, u: jnp.ndarray) -> jnp.ndarray:
+        """u at quadrature points: (nq,)."""
+        return self._phi[fam] @ u
+
+    def grad(self, fam: str, u: jnp.ndarray) -> jnp.ndarray:
+        """grad u at quadrature points: (nq, dim)."""
+        return jnp.einsum("qnx,n->qx", self._dphi[fam], u)
+
+    # ---- test-function integrals --------------------------------------
+    def t(self, fam: str, s: jnp.ndarray) -> jnp.ndarray:
+        """integral s * phi_i   (s: (nq,)) -> (nd,)."""
+        return self._phi[fam].T @ (self.wdet * s)
+
+    def tgrad(self, fam: str, v: jnp.ndarray) -> jnp.ndarray:
+        """integral v . grad phi_i   (v: (nq, dim)) -> (nd,)."""
+        return jnp.einsum("qnx,qx,q->n", self._dphi[fam], v, self.wdet)
+
+    def tgrad_d(self, fam: str, s: jnp.ndarray, d: int) -> jnp.ndarray:
+        """integral s * d(phi_i)/dx_d   (s: (nq,)) -> (nd,)."""
+        return jnp.einsum("qn,q,q->n", self._dphi[fam][:, :, d], s, self.wdet)
+
+
+class FaceOps:
+    """Per-boundary-face quadrature operations (surface integrals; analogue of
+    the reference's JacobianSur, ElemType.hpp:330-360)."""
+
+    def __init__(self, tabs, weights, coords, dim, sign):
+        gphi, gdphi = tabs[GEO_FAMILY]
+        self.x = gphi @ coords                            # (nq, dim)
+        # tangents: (nq, dim_f, dim)
+        T = jnp.einsum("qnd,nx->qdx", gdphi, coords)
+        if dim == 2:
+            t = T[:, 0, :]                                # (nq, 2)
+            ds = jnp.linalg.norm(t, axis=-1)
+            n = jnp.stack([t[:, 1], -t[:, 0]], axis=-1) / ds[:, None]
+        elif dim == 3:
+            cr = jnp.cross(T[:, 0, :], T[:, 1, :])
+            ds = jnp.linalg.norm(cr, axis=-1)
+            n = cr / ds[:, None]
+        else:
+            ds = jnp.ones(weights.shape)
+            n = jnp.ones((weights.shape[0], 1))
+        self.normal = n * sign
+        self.wds = weights * ds
+        self._phi = {f: t[0] for f, t in tabs.items()}
+
+    def value(self, fam, u):
+        return self._phi[fam] @ u
+
+    def t(self, fam, s):
+        """integral_face s * phi_i ds."""
+        return self._phi[fam].T @ (self.wds * s)
+
+
+class Assembler:
+    """Assembles residual + Jacobian for a set of unknowns on one mesh level."""
+
+    def __init__(self, mesh, unknowns: Sequence[Unknown], quad_order="fifth",
+                 dtype=None):
+        self.mesh = mesh
+        self.unknowns = list(unknowns)
+        self.dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        g = GEOMS[mesh.geom]
+        self.dim = mesh.dim
+        # ---- block layout (KKoffset analogue) --------------------------
+        self.dofmaps = {u.name: mesh.dofmap(u.family) for u in unknowns}
+        self.offsets: Dict[str, int] = {}
+        off = 0
+        for u in unknowns:
+            self.offsets[u.name] = off
+            off += self.dofmaps[u.name].n_dofs
+        self.n_dofs = off
+        # element dof gather table: (ne, ndt)
+        parts = []
+        self.local_slices: Dict[str, slice] = {}
+        loc = 0
+        for u in unknowns:
+            dm = self.dofmaps[u.name]
+            parts.append(dm.conn + self.offsets[u.name])
+            self.local_slices[u.name] = slice(loc, loc + dm.conn.shape[1])
+            loc += dm.conn.shape[1]
+        self.ndt = loc
+        self.edofs = np.concatenate(parts, axis=1).astype(np.int32)
+        # ---- sparsity pattern + ELL slots ------------------------------
+        ne = mesh.n_elems
+        rows = np.repeat(self.edofs, self.ndt, axis=1).ravel()
+        cols = np.tile(self.edofs, (1, self.ndt)).ravel()
+        self.pattern = pattern_from_pairs(rows, cols, self.n_dofs, self.n_dofs)
+        # slot of each (e, i, j): ELL flat position
+        lut = _build_slot_lut(self.pattern)
+        self.slots = lut(rows, cols).reshape(ne, self.ndt, self.ndt)
+        # ---- tabulations ------------------------------------------------
+        self.quad_order = quad_order
+        fams = {GEO_FAMILY} | {u.family for u in unknowns}
+        pts, w = gauss(mesh.geom, quad_order)
+        self.tabs = {f: (jnp.asarray(tabulate(mesh.geom, f, quad_order).phi, self.dtype),
+                         jnp.asarray(tabulate(mesh.geom, f, quad_order).dphi, self.dtype))
+                     for f in fams}
+        self.qweights = jnp.asarray(w, self.dtype)
+        self.geo_conn = mesh.conn[:, g.family_nodes[GEO_FAMILY]]
+        self.coords_e = jnp.asarray(mesh.coords[self.geo_conn], self.dtype)
+        # ---- Dirichlet bookkeeping (set by systems layer) ---------------
+        self.dirichlet_mask = np.zeros(self.n_dofs, bool)
+        # ---- forms -------------------------------------------------------
+        self.volume_form: Optional[Callable] = None
+        self.face_form: Optional[Callable] = None
+        self.aux_field_specs: List[Tuple[str, str]] = []   # (name, family)
+        self._faces_built = False
+
+    # ------------------------------------------------------------------
+    def set_volume_form(self, fn: Callable) -> None:
+        """fn(ops: ElemOps, u: dict, aux: dict) -> dict name -> (nd,)."""
+        self.volume_form = fn
+
+    def set_face_form(self, fn: Callable) -> None:
+        """fn(fops: FaceOps, u: dict, group: int scalar, aux: dict) -> dict."""
+        self.face_form = fn
+        self._build_face_tables()
+
+    def add_aux_field(self, name: str, family: str) -> None:
+        """Auxiliary field gathered like an unknown (old solution, coupling)."""
+        self.aux_field_specs.append((name, family))
+
+    # ------------------------------------------------------------------
+    def _split(self, u_flat: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        return {u.name: u_flat[self.local_slices[u.name]] for u in self.unknowns}
+
+    def _elem_residual(self, u_flat, coords, aux_loc, aux_scalars):
+        ops = ElemOps(self.tabs, self.qweights, coords, self.dim)
+        u = self._split(u_flat)
+        aux = dict(aux_scalars)
+        aux.update(aux_loc)
+        out = self.volume_form(ops, u, aux)
+        return jnp.concatenate([out[u.name] for u in self.unknowns])
+
+    # ------------------------------------------------------------------
+    def _build_face_tables(self) -> None:
+        """Precompute per-boundary-face gather tables and tabulations."""
+        if self._faces_built:
+            return
+        self._faces_built = True
+        self.face_batches = []
+        mesh = self.mesh
+        g = GEOMS[mesh.geom]
+        for fg, bf in mesh.boundary.items():
+            nfaces = len(bf.elem)
+            if nfaces == 0:
+                continue
+            # trace node tables depend on iface; group faces by iface
+            for iface in np.unique(bf.iface):
+                sel = np.where(bf.iface == iface)[0]
+                fams = {}
+                fdof_parts = []
+                fslices = {}
+                loc0 = 0
+                for u in self.unknowns:
+                    ff, lidx = face_trace_nodes(mesh.geom, u.family, int(iface))
+                    fams[u.name] = ff
+                    # element-local positions -> global dofs
+                    sl = self.local_slices[u.name]
+                    edo = self.edofs[bf.elem[sel]][:, sl][:, lidx]
+                    fdof_parts.append(edo)
+                    fslices[u.name] = slice(loc0, loc0 + len(lidx))
+                    loc0 += len(lidx)
+                fdofs = np.concatenate(fdof_parts, axis=1).astype(np.int32)
+                # geometry coords of the face (biquadratic trace)
+                gff, glidx = face_trace_nodes(mesh.geom, GEO_FAMILY, int(iface))
+                fcoords = mesh.coords[self.geo_conn[bf.elem[sel]][:, glidx]]
+                # tabulations on the face geometry
+                pts, w = gauss(fg, self.quad_order)
+                tabs = {}
+                used_fams = {gff} | set(fams.values())
+                for fam in used_fams:
+                    t = tabulate(fg, fam, self.quad_order)
+                    tabs[fam] = (jnp.asarray(t.phi, self.dtype),
+                                 jnp.asarray(t.dphi, self.dtype))
+                tabs[GEO_FAMILY] = tabs[gff]
+                self.face_batches.append(dict(
+                    fgeom=fg, iface=int(iface),
+                    fdofs=fdofs,
+                    fslices=fslices, fams=fams, ndf=loc0,
+                    coords=jnp.asarray(fcoords, self.dtype),
+                    groups=jnp.asarray(bf.group[sel], jnp.int32),
+                    tabs=tabs, weights=jnp.asarray(w, self.dtype),
+                ))
+
+    def _face_residual(self, batch, u_flat, coords, grp, aux_scalars):
+        fops = FaceOps(batch["tabs"], batch["weights"], coords, self.dim, 1.0)
+        u = {name: u_flat[batch["fslices"][name]] for name in batch["fslices"]}
+        fams = batch["fams"]
+        out = self.face_form(fops, u, fams, grp, dict(aux_scalars))
+        parts = []
+        for un in self.unknowns:
+            r = out.get(un.name)
+            if r is None:
+                n = batch["fslices"][un.name]
+                r = jnp.zeros(n.stop - n.start, self.dtype)
+            parts.append(r)
+        return jnp.concatenate(parts)
+
+    # ------------------------------------------------------------------
+    def make_assemble_fn(self, with_jacobian: bool = True):
+        """Return a jittable function
+        (u, aux_fields: dict, aux_scalars: dict) -> (R, data | None)."""
+        edofs = jnp.asarray(self.edofs)
+        slots = jnp.asarray(self.slots.reshape(-1))
+        coords_e = self.coords_e
+        nrows, w = self.pattern.n_rows, self.pattern.width
+        dir_mask = jnp.asarray(self.dirichlet_mask)
+        ell_cols = jnp.asarray(self.pattern.cols)
+        ell_valid = jnp.asarray(self.pattern.valid)
+        row_ids = jnp.arange(nrows)[:, None]
+
+        def assemble(u, aux_fields=None, aux_scalars=None):
+            aux_fields = aux_fields or {}
+            aux_scalars = aux_scalars or {}
+            u = u.astype(self.dtype)
+            u_loc = u[edofs]                               # (ne, ndt)
+            # gather aux fields with their own family conn
+            aux_loc = {}
+            for name, fam in self.aux_field_specs:
+                dm = self.mesh.dofmap(fam)
+                aux_loc[name] = aux_fields[name][jnp.asarray(dm.conn)]
+
+            def one(ul, cl, *aux_vals):
+                al = dict(zip([n for n, _ in self.aux_field_specs], aux_vals))
+                return self._elem_residual(ul, cl, al, aux_scalars)
+
+            aux_arrays = [aux_loc[n] for n, _ in self.aux_field_specs]
+            r = jax.vmap(one)(u_loc, coords_e, *aux_arrays)     # (ne, ndt)
+            R = jnp.zeros(self.n_dofs, self.dtype).at[edofs.ravel()].add(r.ravel())
+
+            data = None
+            if with_jacobian:
+                jac = jax.vmap(jax.jacfwd(one))(u_loc, coords_e, *aux_arrays)
+                data_flat = jnp.zeros(nrows * w, self.dtype).at[slots].add(jac.ravel())
+                data = data_flat.reshape(nrows, w)
+
+            # boundary faces
+            if self.face_form is not None:
+                for b in self.face_batches:
+                    fd = jnp.asarray(b["fdofs"])
+                    uf = u[fd]
+                    def fone(ul, cl, grp):
+                        return self._face_residual(b, ul, cl, grp, aux_scalars)
+                    rf = jax.vmap(fone)(uf, b["coords"], b["groups"])
+                    R = R.at[fd.ravel()].add(rf.ravel())
+                    if with_jacobian:
+                        jf = jax.vmap(jax.jacfwd(fone))(uf, b["coords"], b["groups"])
+                        # face slots: positions within ELL via host lut
+                        fslots = self._face_slots(b)
+                        data = (data.reshape(-1).at[jnp.asarray(fslots.ravel())]
+                                .add(jf.ravel()).reshape(nrows, w))
+
+            # Dirichlet: zero rows/cols, unit diagonal (symmetric elimination)
+            R = jnp.where(dir_mask, 0.0, R)
+            if with_jacobian:
+                bad = dir_mask[row_ids] | dir_mask[ell_cols]
+                # exactly one unit entry on the diagonal of a Dirichlet row:
+                # ell_valid excludes the diagonal-pointing padding slots
+                ident = (ell_cols == row_ids) & dir_mask[row_ids] & ell_valid
+                data = jnp.where(bad, jnp.where(ident, 1.0, 0.0), data)
+            return R, data
+
+        return assemble
+
+    def _face_slots(self, batch):
+        if "slots" not in batch:
+            lut = _build_slot_lut(self.pattern)
+            fd = batch["fdofs"]
+            n = fd.shape[1]
+            rows = np.repeat(fd, n, axis=1).ravel()
+            cols = np.tile(fd, (1, n)).ravel()
+            batch["slots"] = lut(rows, cols).reshape(fd.shape[0], n, n)
+        return batch["slots"]
+
+    # ------------------------------------------------------------------
+    def new_op(self) -> SparseOp:
+        return op_from_pattern(self.pattern, dtype=self.dtype)
+
+    def op_with(self, data: jnp.ndarray) -> SparseOp:
+        return SparseOp(data, jnp.asarray(self.pattern.cols), self.pattern.n_cols)
+
+
+def _build_slot_lut(pattern: EllPattern):
+    """Return lut(rows, cols) -> flat ELL slot index.
+
+    CSR entries sorted by (row, col) form a globally sorted key sequence, so a
+    single searchsorted resolves every query; the ELL slot is then
+    row * width + within-row position."""
+    counts = np.diff(pattern.indptr)
+    csr_rows = np.repeat(np.arange(pattern.n_rows, dtype=np.int64), counts)
+    csr_keys = csr_rows * pattern.n_cols + pattern.indices
+    ell_slots = pattern.csr_to_ell_slots()
+
+    def lut(rows, cols):
+        keys = rows.astype(np.int64) * pattern.n_cols + cols.astype(np.int64)
+        pos = np.searchsorted(csr_keys, keys)
+        assert np.all(csr_keys[pos] == keys), "query pair outside pattern"
+        return ell_slots[pos]
+
+    return lut

@@ -1,0 +1,144 @@
+"""Ready-made weak forms.
+
+The reference ships canonical assemblies in src/08_equations/assemble/:
+Poisson (00_poisson_eqn_with_dirichlet_or_neumann_bc.hpp), biharmonic
+(01_biharmonic_coupled.hpp), Navier-Stokes (03_navier_stokes.hpp:21
+``AssembleNavierStokes_AD``), Boussinesq (04_boussinesq.hpp).  Here each is a
+pure function over :class:`~femus_tpu.assembly.engine.ElemOps`; Jacobians come
+from ``jax.jacfwd`` in the engine, so forms only state the residual.
+
+Residual convention: R_i(u) = 0 is the discrete equation; the solvers step
+u <- u + delta with J delta = -R.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+
+
+def poisson(var: str = "u", family: str = "biquadratic",
+            rhs: Optional[Callable] = None, kappa: float = 1.0):
+    """-div(kappa grad u) = f, Dirichlet/Neumann (reference tutorial ex02)."""
+
+    def form(ops, u, aux):
+        g = ops.grad(family, u[var])
+        r = kappa * ops.tgrad(family, g)
+        if rhs is not None:
+            f = rhs(ops.x)
+            r = r - ops.t(family, f)
+        return {var: r}
+
+    return form
+
+
+def mass(var: str = "u", family: str = "biquadratic", coeff: float = 1.0):
+    """coeff * u (projection/mass term), composable."""
+
+    def form(ops, u, aux):
+        return {var: coeff * ops.t(family, ops.value(family, u[var]))}
+
+    return form
+
+
+def nonlinear_diffusion(var: str = "u", family: str = "biquadratic",
+                        a: Callable = None, rhs: Optional[Callable] = None):
+    """-div(a(u) grad u) = f (reference 091_Tumor-style degenerate diffusion)."""
+    a = a or (lambda s: 1.0 + s * s)
+
+    def form(ops, u, aux):
+        uq = ops.value(family, u[var])
+        g = ops.grad(family, u[var])
+        r = ops.tgrad(family, a(uq)[:, None] * g)
+        if rhs is not None:
+            r = r - ops.t(family, rhs(ops.x))
+        return {var: r}
+
+    return form
+
+
+def navier_stokes(vel=("u", "v"), pres: str = "p",
+                  vel_family: str = "biquadratic", pres_family: str = "linear",
+                  nu: float = 1.0, force: Optional[Callable] = None,
+                  stokes: bool = False):
+    """Steady incompressible Navier-Stokes, velocity components + pressure
+    (reference AssembleNavierStokes_AD, 03_navier_stokes.hpp:339-360):
+
+      momentum_d: nu grad(u_d) . grad(phi) + (U . grad u_d) phi - p dphi/dx_d = f_d phi
+      continuity: div(U) psi = 0
+    """
+    dim = len(vel)
+
+    def form(ops, u, aux):
+        nuv = aux.get("nu", nu)
+        V = [ops.value(vel_family, u[c]) for c in vel]          # (nq,) each
+        G = [ops.grad(vel_family, u[c]) for c in vel]           # (nq, dim)
+        pq = ops.value(pres_family, u[pres])
+        out = {}
+        fq = force(ops.x) if force is not None else None
+        for d, c in enumerate(vel):
+            r = nuv * ops.tgrad(vel_family, G[d])
+            if not stokes:
+                adv = sum(V[e] * G[d][:, e] for e in range(dim))
+                r = r + ops.t(vel_family, adv)
+            r = r - ops.tgrad_d(vel_family, pq, d)
+            if fq is not None:
+                r = r - ops.t(vel_family, fq[:, d])
+            out[c] = r
+        divV = sum(G[d][:, d] for d in range(dim))
+        out[pres] = -ops.t(pres_family, divV)
+        return out
+
+    return form
+
+
+def boussinesq(vel=("u", "v"), pres: str = "p", temp: str = "T",
+               vel_family: str = "biquadratic", pres_family: str = "linear",
+               temp_family: str = "biquadratic",
+               nu: float = 1.0, alpha: float = 1.0, ra: float = 1.0,
+               pr: float = 1.0, gravity_dir: int = -1):
+    """Thermally-coupled NS (reference 04_boussinesq.hpp): buoyancy force
+    Ra*Pr*T in the gravity direction, temperature advection-diffusion."""
+    dim = len(vel)
+    gd = dim - 1 if gravity_dir == -1 else gravity_dir
+
+    def form(ops, u, aux):
+        V = [ops.value(vel_family, u[c]) for c in vel]
+        G = [ops.grad(vel_family, u[c]) for c in vel]
+        pq = ops.value(pres_family, u[pres])
+        Tq = ops.value(temp_family, u[temp])
+        GT = ops.grad(temp_family, u[temp])
+        out = {}
+        for d, c in enumerate(vel):
+            adv = sum(V[e] * G[d][:, e] for e in range(dim))
+            r = (jnp.sqrt(pr / ra) * ops.tgrad(vel_family, G[d])
+                 + ops.t(vel_family, adv)
+                 - ops.tgrad_d(vel_family, pq, d))
+            if d == gd:
+                r = r - ops.t(vel_family, Tq)
+            out[c] = r
+        divV = sum(G[d][:, d] for d in range(dim))
+        out[pres] = -ops.t(pres_family, divV)
+        advT = sum(V[e] * GT[:, e] for e in range(dim))
+        out[temp] = (1.0 / jnp.sqrt(ra * pr) * ops.tgrad(temp_family, GT)
+                     + ops.t(temp_family, advT))
+        return out
+
+    return form
+
+
+def neumann_faces(flux: Dict[int, Callable], var: str = "u"):
+    """Neumann surface term: -integral g phi ds on faces of given groups.
+
+    flux: group -> g(x, normal) callable returning (nq,).
+    """
+
+    def form(fops, u, fams, grp, aux):
+        fam = fams[var]
+        r = jnp.zeros(u[var].shape, u[var].dtype)
+        for g, fn in flux.items():
+            gq = fn(fops.x, fops.normal)
+            r = r + jnp.where(grp == g, -fops.t(fam, gq), 0.0)
+        return {var: r}
+
+    return form

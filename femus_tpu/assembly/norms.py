@@ -1,0 +1,84 @@
+"""Error norms and functional integrals over a mesh.
+
+Backs the FE-convergence harness (reference FE_convergence.hpp:29-139:
+per-unknown L2/H1 error norms vs analytic solution or vs finer level).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fe.geom import GEOMS
+from ..fe.tabulate import tabulate
+from ..fe.quadrature import gauss
+from .engine import GEO_FAMILY
+
+
+def _setup(mesh, family, quad_order, dtype):
+    g = GEOMS[mesh.geom]
+    tg = tabulate(mesh.geom, GEO_FAMILY, quad_order)
+    tf = tabulate(mesh.geom, family, quad_order)
+    geo_conn = mesh.conn[:, g.family_nodes[GEO_FAMILY]]
+    coords_e = jnp.asarray(mesh.coords[geo_conn], dtype)
+    conn = jnp.asarray(mesh.dofmap(family).conn)
+    return (jnp.asarray(tg.phi, dtype), jnp.asarray(tg.dphi, dtype),
+            jnp.asarray(tf.phi, dtype), jnp.asarray(tf.dphi, dtype),
+            jnp.asarray(tg.weights, dtype), coords_e, conn)
+
+
+def error_norms(mesh, family: str, u, exact: Callable,
+                exact_grad: Optional[Callable] = None,
+                quad_order="ninth") -> Tuple[float, float]:
+    """(L2 error, H1-seminorm error) of the FE function vs an analytic field.
+
+    exact(x: (nq, dim)) -> (nq,); exact_grad(x) -> (nq, dim).
+    """
+    dtype = jnp.asarray(u).dtype
+    gphi, gdphi, fphi, fdphi, w, coords_e, conn = _setup(mesh, family, quad_order, dtype)
+    u = jnp.asarray(u)
+
+    def one(ul, cl):
+        J = jnp.einsum("qnd,nx->qdx", gdphi, cl)
+        detJ = jnp.abs(jnp.linalg.det(J))
+        invJ = jnp.linalg.inv(J)
+        xq = gphi @ cl
+        wdet = w * detJ
+        uh = fphi @ ul
+        e2 = ((uh - exact(xq)) ** 2 * wdet).sum()
+        h2 = 0.0
+        if exact_grad is not None:
+            dphi = jnp.einsum("qnd,qxd->qnx", fdphi, invJ)
+            gh = jnp.einsum("qnx,n->qx", dphi, ul)
+            h2 = (((gh - exact_grad(xq)) ** 2).sum(axis=-1) * wdet).sum()
+        return e2, h2
+
+    e2, h2 = jax.vmap(one)(u[conn], coords_e)
+    return float(jnp.sqrt(e2.sum())), float(jnp.sqrt(h2.sum()))
+
+
+def l2_norm_field(mesh, family: str, u, quad_order="ninth") -> float:
+    """Integral L2 norm of the FE function itself."""
+    z, _ = error_norms(mesh, family, u, lambda x: jnp.zeros(x.shape[0], u.dtype),
+                       None, quad_order)
+    return z
+
+
+def integrate(mesh, fn: Callable, quad_order="ninth", dtype=jnp.float64) -> float:
+    """integral of fn(x) over the mesh (host-facing convenience)."""
+    g = GEOMS[mesh.geom]
+    tg = tabulate(mesh.geom, GEO_FAMILY, quad_order)
+    geo_conn = mesh.conn[:, g.family_nodes[GEO_FAMILY]]
+    coords_e = jnp.asarray(mesh.coords[geo_conn], dtype)
+    gphi = jnp.asarray(tg.phi, dtype)
+    gdphi = jnp.asarray(tg.dphi, dtype)
+    w = jnp.asarray(tg.weights, dtype)
+
+    def one(cl):
+        J = jnp.einsum("qnd,nx->qdx", gdphi, cl)
+        detJ = jnp.abs(jnp.linalg.det(J))
+        return (fn(gphi @ cl) * w * detJ).sum()
+
+    return float(jax.vmap(one)(coords_e).sum())
