@@ -1,0 +1,147 @@
+"""Geometric multigrid cycles (V/F/W) as jit-native preconditioners.
+
+The reference drives PETSc PCMG (LinearEquationSolverPetsc.cpp:185-290:
+MGInit + MGSetLevel with per-level smoother KSPs, interpolation/restriction
+matrices, coarse LU).  Here a :class:`MGHierarchy` holds per-level operators
+(assembled fine + Galerkin PtAP-scheduled coarse), transfer SpMV pairs and
+smoother closures; cycles unroll statically over the (few) levels so XLA sees
+one fused graph.
+
+Coarse grids smaller than a threshold collapse to a dense direct solve on one
+chip (SURVEY.md §2.4 "coarse-grid solve").
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .smoothers import chebyshev_smoother, jacobi_smoother, power_lambda_max
+from .sparse import SparseOp
+from .transfer import PtAPSchedule
+
+
+@dataclasses.dataclass
+class MGLevel:
+    A: SparseOp
+    P: Optional[SparseOp] = None          # prolongation from level below (coarse->this)
+    R: Optional[SparseOp] = None          # restriction (P^T) to level below
+    smoother: Optional[Callable] = None   # smooth(b, x) -> x
+
+
+@dataclasses.dataclass
+class MGHierarchy:
+    """levels[0] = coarsest, levels[-1] = finest."""
+
+    levels: List[MGLevel]
+    n_pre: int = 2
+    n_post: int = 2
+    coarse_dense: Optional[jnp.ndarray] = None   # LU-factorable dense coarse A
+
+    def setup_coarse(self):
+        self.coarse_dense = self.levels[0].A.to_dense()
+
+    def coarse_solve(self, b):
+        if self.coarse_dense is not None:
+            return jnp.linalg.solve(self.coarse_dense, b)
+        lv = self.levels[0]
+        x = jnp.zeros_like(b)
+        for _ in range(20):
+            x = lv.smoother(b, x)
+        return x
+
+    def v_cycle(self, b, x=None, level: Optional[int] = None):
+        l = len(self.levels) - 1 if level is None else level
+        lv = self.levels[l]
+        x = jnp.zeros_like(b) if x is None else x
+        if l == 0:
+            return self.coarse_solve(b)
+        for _ in range(self.n_pre):
+            x = lv.smoother(b, x)
+        r = b - lv.A @ x
+        rc = lv.R @ r
+        ec = self.v_cycle(rc, level=l - 1)
+        x = x + lv.P @ ec
+        for _ in range(self.n_post):
+            x = lv.smoother(b, x)
+        return x
+
+    def w_cycle(self, b, x=None, level: Optional[int] = None):
+        l = len(self.levels) - 1 if level is None else level
+        lv = self.levels[l]
+        x = jnp.zeros_like(b) if x is None else x
+        if l == 0:
+            return self.coarse_solve(b)
+        for _ in range(self.n_pre):
+            x = lv.smoother(b, x)
+        r = b - lv.A @ x
+        rc = lv.R @ r
+        ec = self.w_cycle(rc, level=l - 1)
+        ec = self.w_cycle(rc, ec, level=l - 1)
+        x = x + lv.P @ ec
+        for _ in range(self.n_post):
+            x = lv.smoother(b, x)
+        return x
+
+    def as_preconditioner(self, cycle: str = "V") -> Callable:
+        fn = self.v_cycle if cycle.upper() == "V" else self.w_cycle
+        return lambda r: fn(r)
+
+
+def apply_dirichlet_identity(op: SparseOp, valid, mask) -> SparseOp:
+    """Zero rows/cols at masked dofs and put 1 on their diagonal (symmetric
+    elimination, matching assembly/engine.py)."""
+    rows = jnp.arange(op.n_rows)[:, None]
+    bad = mask[rows] | mask[op.cols]
+    ident = (op.cols == rows) & mask[rows] & valid
+    data = jnp.where(bad, jnp.where(ident, 1.0, 0.0), op.data)
+    return SparseOp(data, op.cols, op.n_cols)
+
+
+def build_hierarchy(fine_op: SparseOp,
+                    transfers: Sequence,      # [(P_op, R_op, ptap_schedule)] coarse->fine order
+                    smoother: str = "chebyshev",
+                    n_pre: int = 2, n_post: int = 2,
+                    jacobi_omega: float = 0.8,
+                    cheb_degree: int = 3,
+                    dir_masks: Optional[Sequence] = None) -> MGHierarchy:
+    """Construct the hierarchy from the finest assembled op via PtAP chain.
+
+    transfers[i] connects level i (coarse) to level i+1 (fine); the finest
+    level is len(transfers).  dir_masks (coarse->fine, excluding finest —
+    the fine op arrives already eliminated) restores identity rows on the
+    Galerkin-coarsened operators.
+    """
+    n_levels = len(transfers) + 1
+    ops = [None] * n_levels
+    ops[-1] = fine_op
+    for l in range(n_levels - 2, -1, -1):
+        sched: PtAPSchedule = transfers[l][2]
+        data_c = sched.apply(ops[l + 1].data)
+        op_c = SparseOp(data_c, jnp.asarray(sched.coarse_pattern.cols),
+                        sched.coarse_pattern.n_cols)
+        if dir_masks is not None and dir_masks[l] is not None:
+            op_c = apply_dirichlet_identity(
+                op_c, jnp.asarray(sched.coarse_pattern.valid),
+                jnp.asarray(dir_masks[l]))
+        ops[l] = op_c
+    levels = []
+    for l in range(n_levels):
+        A = ops[l]
+        diag = A.diagonal()
+        # guard zero diagonals (e.g. pressure block) for smoother scaling
+        safe = jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
+        if smoother == "jacobi":
+            sm = jacobi_smoother(A.matvec, safe, jacobi_omega, iters=1)
+        else:
+            lam = power_lambda_max(A.matvec, 1.0 / safe, A.n_rows)
+            sm = chebyshev_smoother(A.matvec, safe, lam, degree=cheb_degree)
+        P = R = None
+        if l > 0:
+            P, R = transfers[l - 1][0], transfers[l - 1][1]
+        levels.append(MGLevel(A, P, R, sm))
+    h = MGHierarchy(levels, n_pre, n_post)
+    h.setup_coarse()
+    return h

@@ -1,0 +1,145 @@
+"""Inter-level transfer operators and Galerkin coarsening.
+
+- Prolongation P (coarse -> fine) per FE family, built element-wise from the
+  refinement embedding (reference fe_prolongation_matrices.hpp:22-48,
+  LinearImplicitSystem::BuildProlongatorMatrix, .cpp:238).
+- Galerkin triple product A_c = P^T A_f P (reference matrix_PtAP,
+  SparseMatrix.hpp:183, PETSc MatPtAP) re-designed for TPU as a *precomputed
+  linear schedule*: with both patterns static, every coarse nnz is a fixed
+  linear combination of fine nnz values, so the device-side PtAP is one
+  gather + multiply + segment-sum — no SpGEMM needed at run time
+  (SURVEY.md §7 hard part 1).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..mesh.refine import local_prolongation
+from .sparse import EllPattern, SparseOp, op_from_scipy, pattern_from_pairs
+
+
+def prolongation_scipy(coarse_mesh, fine_mesh, family: str) -> sp.csr_matrix:
+    """(n_fine_dofs, n_coarse_dofs) interpolation matrix for one family."""
+    assert fine_mesh.parent_elem is not None, "fine mesh lacks refinement lineage"
+    blocks = local_prolongation(fine_mesh.geom, family)   # (nk, ndf, ndc)
+    dmf = fine_mesh.dofmap(family)
+    dmc = coarse_mesh.dofmap(family)
+    ndf, ndc = blocks.shape[1], blocks.shape[2]
+    ne = fine_mesh.n_elems
+    rows = np.repeat(dmf.conn, ndc, axis=1).ravel()
+    cols = np.tile(dmc.conn[fine_mesh.parent_elem], (1, ndf)).ravel()
+    vals = blocks[fine_mesh.child_slot].transpose(0, 1, 2).ravel()
+    # conforming interpolation: duplicated (row, col) pairs agree — keep first
+    keys = rows.astype(np.int64) * dmc.n_dofs + cols
+    _, first = np.unique(keys, return_index=True)
+    rows, cols, vals = rows[first], cols[first], vals[first]
+    keep = np.abs(vals) > 1e-14
+    P = sp.csr_matrix((vals[keep], (rows[keep], cols[keep])),
+                      shape=(dmf.n_dofs, dmc.n_dofs))
+    P.sum_duplicates()
+    P.sort_indices()
+    return P
+
+
+def block_diag_prolongation(coarse_mesh, fine_mesh, unknowns) -> sp.csr_matrix:
+    """Stacked-block prolongation over a system's unknowns (KKoffset layout)."""
+    mats = [prolongation_scipy(coarse_mesh, fine_mesh, u.family) for u in unknowns]
+    return sp.block_diag(mats, format="csr")
+
+
+@dataclasses.dataclass
+class PtAPSchedule:
+    """Device-side Galerkin product: coarse_data = segsum(coeff * fine_data[src])."""
+
+    coarse_pattern: EllPattern
+    src: jnp.ndarray       # (n_triplets,) flat index into fine ELL data
+    dst: jnp.ndarray       # (n_triplets,) flat index into coarse ELL data (sorted)
+    coeff: jnp.ndarray     # (n_triplets,)
+
+    def apply(self, fine_data: jnp.ndarray) -> jnp.ndarray:
+        """fine ELL data (nr, w) -> coarse ELL data (nrc, wc)."""
+        contrib = self.coeff * fine_data.ravel()[self.src]
+        nrc, wc = self.coarse_pattern.n_rows, self.coarse_pattern.width
+        out = jax.ops.segment_sum(contrib, self.dst, num_segments=nrc * wc,
+                                  indices_are_sorted=True)
+        return out.reshape(nrc, wc)
+
+
+def build_ptap_schedule(fine_pattern: EllPattern, P: sp.csr_matrix,
+                        dtype=np.float64) -> PtAPSchedule:
+    """Precompute the PtAP linear schedule for static fine pattern and P.
+
+    A_c[i, j] = sum_{k,l} P[k, i] A[k, l] P[l, j]: for every fine nnz (k, l)
+    and every (i in P-row k, j in P-row l) emit a triplet
+    (dst=slot_c(i,j), src=slot_f(k,l), coeff=P[k,i] * P[l,j]).
+    """
+    # fine nnz list in ELL slot order
+    counts_f = np.diff(fine_pattern.indptr)
+    k_of = np.repeat(np.arange(fine_pattern.n_rows), counts_f)
+    l_of = fine_pattern.indices
+    slot_f = fine_pattern.csr_to_ell_slots()
+    # coarse pattern from symbolic PtAP
+    ones = sp.csr_matrix((np.ones_like(slot_f, dtype=np.float64),
+                          fine_pattern.indices.astype(np.int64),
+                          fine_pattern.indptr),
+                         shape=(fine_pattern.n_rows, fine_pattern.n_cols))
+    Pc = P.tocsr()
+    C = (Pc.T @ ones @ Pc).tocsr()
+    C.sort_indices()
+    coo = C.tocoo()
+    # always include the diagonal so Dirichlet identity rows exist on coarse
+    # levels even when P has been masked at essential dofs
+    dg = np.arange(C.shape[0])
+    cpat = pattern_from_pairs(np.concatenate([coo.row, dg]),
+                              np.concatenate([coo.col, dg]),
+                              C.shape[0], C.shape[1])
+    from ..assembly.engine import _build_slot_lut
+    lut_c = _build_slot_lut(cpat)
+    # expand triplets (vectorized, batched over fine nnz to bound memory)
+    Pptr, Pidx, Pval = Pc.indptr, Pc.indices, Pc.data
+    src_all, dst_all, coeff_all = [], [], []
+    B = 1 << 20
+    for s0 in range(0, len(slot_f), B):
+        kk = k_of[s0:s0 + B]
+        ll = l_of[s0:s0 + B]
+        ss = slot_f[s0:s0 + B]
+        nk = Pptr[kk + 1] - Pptr[kk]
+        nl = Pptr[ll + 1] - Pptr[ll]
+        reps = nk * nl
+        if reps.sum() == 0:
+            continue
+        # expand each fine nnz into nk*nl triplets
+        ent = np.repeat(np.arange(len(kk)), reps)
+        # position within the (nk x nl) product
+        offs = np.concatenate([np.arange(r) for r in reps]) if len(reps) else np.zeros(0, int)
+        a = offs // nl[ent]
+        b = offs % nl[ent]
+        pi = Pidx[Pptr[kk[ent]] + a]
+        pj = Pidx[Pptr[ll[ent]] + b]
+        cv = Pval[Pptr[kk[ent]] + a] * Pval[Pptr[ll[ent]] + b]
+        src_all.append(ss[ent])
+        dst_all.append(lut_c(pi, pj))
+        coeff_all.append(cv)
+    src = np.concatenate(src_all)
+    dst = np.concatenate(dst_all)
+    coeff = np.concatenate(coeff_all)
+    keep = np.abs(coeff) > 0
+    src, dst, coeff = src[keep], dst[keep], coeff[keep]
+    order = np.argsort(dst, kind="stable")
+    return PtAPSchedule(cpat,
+                        jnp.asarray(src[order]),
+                        jnp.asarray(dst[order]),
+                        jnp.asarray(coeff[order].astype(dtype)))
+
+
+def op_pair_from_scipy(P: sp.csr_matrix, dtype=None) -> Tuple[SparseOp, SparseOp]:
+    """(P, P^T) as device ELL operators (restriction = transpose SpMV)."""
+    Pop, _ = op_from_scipy(P.astype(np.float64 if dtype is None else dtype))
+    Rop, _ = op_from_scipy(P.T.tocsr().astype(np.float64 if dtype is None else dtype))
+    return Pop, Rop
