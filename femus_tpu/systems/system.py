@@ -1,0 +1,340 @@
+"""System hierarchy: linear / nonlinear implicit systems with geometric-MG
+preconditioned Krylov solves.
+
+Reference equivalents:
+- ``System`` (System.hpp:51): named equation container, unknown list, user
+  assemble callback.
+- ``LinearImplicitSystem`` (LinearImplicitSystem.cpp:138 init, :288 MGsolve,
+  :468 Vcycle): per-level operators, Galerkin coarse ops (matrix_PtAP), MG
+  cycles, V_CYCLE (finest only) and F_CYCLE (coarse-to-fine ratchet) drive.
+- ``NonLinearImplicitSystem`` (NonLinearImplicitSystem.cpp:157): outer Newton
+  loop with per-variable relative-eps convergence (:113-153) and NaN "bit
+  flip" restart (LinearImplicitSystem.cpp:415-449).
+
+TPU design: each level owns ONE jitted solve step
+(assemble -> PtAP chain -> MG-preconditioned GMRES/CG -> correction); the
+Newton/F-cycle drive is a short host loop around it.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assembly.engine import Assembler, Unknown
+from ..algebra.krylov import cg, gmres
+from ..algebra.mg import apply_dirichlet_identity, build_hierarchy
+from ..algebra.transfer import (block_diag_prolongation, build_ptap_schedule,
+                                op_pair_from_scipy)
+from .solution import DIRICHLET, MultiLevelSolution
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    outer: str = "gmres"            # "gmres" | "cg"
+    rtol: float = 1e-8
+    atol: float = 1e-50
+    restart: int = 30
+    max_outer: int = 20             # GMRES restarts / CG maxiter scale
+    smoother: str = "chebyshev"     # "chebyshev" | "jacobi"
+    n_pre: int = 2
+    n_post: int = 2
+    cheb_degree: int = 3
+    mg_type: str = "V"              # "V" | "F" (F = coarse-to-fine ratchet)
+    use_mg: bool = True
+    # nonlinear
+    max_nonlinear: int = 15
+    nonlinear_tol: float = 1e-8
+
+
+class System:
+    """Base equation system bound to a MultiLevelProblem."""
+
+    def __init__(self, problem, name: str):
+        self.problem = problem
+        self.name = name
+        self.unknown_names: List[str] = []
+        self.volume_form: Optional[Callable] = None
+        self.face_form: Optional[Callable] = None
+        self.aux_specs: List[Tuple[str, str, bool]] = []  # (sol var, alias, use_old)
+        self.aux_scalars: Dict[str, float] = {}
+        self.config = SolverConfig()
+        self._initialized = False
+        self.timing = {"assembly": 0.0, "solve": 0.0}
+
+    # ---- reference API surface ---------------------------------------
+    def add_unknown(self, *names: str) -> None:
+        """AddSolutionToSystemPDE (System.hpp:147)."""
+        self.unknown_names.extend(names)
+
+    def set_assembly(self, volume_form: Callable,
+                     face_form: Optional[Callable] = None) -> None:
+        """SetAssembleFunction (System.hpp:116) — here a pure weak form."""
+        self.volume_form = volume_form
+        self.face_form = face_form
+
+    def add_aux_field(self, sol_var: str, alias: Optional[str] = None,
+                      old: bool = False) -> None:
+        """Expose another solution variable (or its old value) to the form."""
+        self.aux_specs.append((sol_var, alias or (sol_var + ("_old" if old else "")), old))
+
+    def set_scalar(self, **kw) -> None:
+        self.aux_scalars.update(kw)
+
+    # ---- setup --------------------------------------------------------
+    @property
+    def ml_sol(self) -> MultiLevelSolution:
+        return self.problem.ml_sol
+
+    @property
+    def ml_mesh(self):
+        return self.problem.ml_mesh
+
+    def init(self) -> None:
+        """Build per-level assemblers, masks, transfers, jitted steps
+        (reference LinearImplicitSystem::init + BuildProlongatorMatrix)."""
+        ml_sol = self.ml_sol
+        self.unknowns = [Unknown(n, ml_sol.vars[n].family) for n in self.unknown_names]
+        self.assemblers: List[Assembler] = []
+        self.masks: List[np.ndarray] = []
+        for l, mesh in enumerate(self.ml_mesh.levels):
+            a = Assembler(mesh, self.unknowns, quad_order=self.problem.quad_order)
+            a.set_volume_form(self.volume_form)
+            if self.face_form is not None:
+                a.set_face_form(self.face_form)
+            for (svar, alias, old) in self.aux_specs:
+                a.add_aux_field(alias, ml_sol.vars[svar].family)
+            mask = np.zeros(a.n_dofs, bool)
+            vals = np.zeros(a.n_dofs)
+            for u in self.unknowns:
+                codes = ml_sol.bdc[l].get(u.name)
+                if codes is None:
+                    continue
+                off = a.offsets[u.name]
+                sel = codes == DIRICHLET
+                mask[off:off + len(codes)][sel] = True
+                vals[off:off + len(codes)][sel] = ml_sol.bdc_value[l][u.name][sel]
+            a.dirichlet_mask = mask
+            a.dirichlet_values = vals
+            self.assemblers.append(a)
+            self.masks.append(mask)
+        # transfers, chained top-down so each schedule consumes the actual
+        # ELL pattern of the level above
+        n_levels = len(self.ml_mesh.levels)
+        self.transfers = [None] * (n_levels - 1)
+        pat_above = self.assemblers[-1].pattern
+        self._transfer_cache: Dict[int, list] = {}
+        for l in range(n_levels - 2, -1, -1):
+            P = block_diag_prolongation(self.ml_mesh.levels[l],
+                                        self.ml_mesh.levels[l + 1], self.unknowns)
+            self._P_raw = P
+            Pm = P.tolil()
+            Pm[self.masks[l + 1], :] = 0.0
+            Pm[:, self.masks[l]] = 0.0
+            Pm = Pm.tocsr()
+            Pm.eliminate_zeros()
+            Pop, Rop = op_pair_from_scipy(Pm)
+            sched = build_ptap_schedule(pat_above, Pm)
+            self.transfers[l] = (Pop, Rop, sched)
+            pat_above = sched.coarse_pattern
+        # F-cycle needs transfers consistent per sub-hierarchy: the PtAP chain
+        # above is for the full finest pattern; per-level chains built lazily.
+        self._step_fns: Dict[int, Callable] = {}
+        self._solution_P = {}      # unmasked prolongation for solution transfer
+        self._initialized = True
+
+    # ---- stacked vector <-> ml_sol ------------------------------------
+    def gather(self, level: int = -1) -> np.ndarray:
+        a = self.assemblers[level]
+        out = np.zeros(a.n_dofs)
+        for u in self.unknowns:
+            off = a.offsets[u.name]
+            s = self.ml_sol.sol[level][u.name]
+            out[off:off + len(s)] = s
+        return out
+
+    def scatter(self, x: np.ndarray, level: int = -1) -> None:
+        a = self.assemblers[level]
+        for u in self.unknowns:
+            off = a.offsets[u.name]
+            n = self.ml_sol.n_dofs(u.name, level)
+            self.ml_sol.sol[level][u.name][:] = np.asarray(x[off:off + n])
+
+    def _aux_arrays(self, level: int) -> Dict[str, jnp.ndarray]:
+        out = {}
+        for (svar, alias, old) in self.aux_specs:
+            src = self.ml_sol.sol_old if old else self.ml_sol.sol
+            out[alias] = jnp.asarray(src[level][svar])
+        return out
+
+    # ---- per-level jitted solve step ----------------------------------
+    def _transfers_for(self, level: int):
+        """PtAP-chained transfers for a hierarchy whose finest level is
+        ``level`` (cached)."""
+        n_levels = len(self.ml_mesh.levels)
+        if level < 0:
+            level += n_levels
+        if level in self._transfer_cache:
+            return self._transfer_cache[level]
+        if level == n_levels - 1:
+            tr = self.transfers
+        else:
+            tr = [None] * level
+            pat_above = self.assemblers[level].pattern
+            for l in range(level - 1, -1, -1):
+                P = block_diag_prolongation(self.ml_mesh.levels[l],
+                                            self.ml_mesh.levels[l + 1],
+                                            self.unknowns)
+                Pm = P.tolil()
+                Pm[self.masks[l + 1], :] = 0.0
+                Pm[:, self.masks[l]] = 0.0
+                Pm = Pm.tocsr()
+                Pm.eliminate_zeros()
+                Pop, Rop = op_pair_from_scipy(Pm)
+                sched = build_ptap_schedule(pat_above, Pm)
+                tr[l] = (Pop, Rop, sched)
+                pat_above = sched.coarse_pattern
+        self._transfer_cache[level] = tr
+        return tr
+
+    def step_fn(self, level: int = -1) -> Callable:
+        """Jitted (u, aux_fields) -> (u_new, lin_res, lin_iters)."""
+        n_levels = len(self.ml_mesh.levels)
+        if level < 0:
+            level += n_levels
+        if level in self._step_fns:
+            return self._step_fns[level]
+        a = self.assemblers[level]
+        assemble = a.make_assemble_fn()
+        cfg = self.config
+        transfers = self._transfers_for(level) if (cfg.use_mg and level > 0) else []
+        dmasks = [jnp.asarray(m) for m in self.masks[:level]]
+        aux_scalars = dict(self.aux_scalars)
+
+        def step(u, aux_fields):
+            R, data = assemble(u, aux_fields, aux_scalars)
+            A = a.op_with(data)
+            if transfers:
+                h = build_hierarchy(A, transfers, smoother=cfg.smoother,
+                                    n_pre=cfg.n_pre, n_post=cfg.n_post,
+                                    cheb_degree=cfg.cheb_degree,
+                                    dir_masks=dmasks)
+                M = h.as_preconditioner("V")
+            else:
+                d = A.diagonal()
+                dsafe = jnp.where(jnp.abs(d) < 1e-30, 1.0, d)
+                M = lambda r: r / dsafe
+            if cfg.outer == "cg":
+                delta, info = cg(A.matvec, -R, M=M, tol=cfg.rtol, atol=cfg.atol,
+                                 maxiter=cfg.max_outer * cfg.restart)
+            else:
+                delta, info = gmres(A.matvec, -R, M=M, tol=cfg.rtol,
+                                    atol=cfg.atol, restart=cfg.restart,
+                                    max_restarts=cfg.max_outer)
+            return u + delta, delta, info.residual, info.iters
+
+        jitted = jax.jit(step)
+        self._step_fns[level] = jitted
+        return jitted
+
+    # ---- norms ---------------------------------------------------------
+    def eps_norms(self, delta: np.ndarray, u: np.ndarray, level: int) -> Dict[str, float]:
+        """Per-variable ||eps|| / ||sol|| (reference HasNonLinearConverged,
+        NonLinearImplicitSystem.cpp:113-153)."""
+        a = self.assemblers[level]
+        out = {}
+        for unk in self.unknowns:
+            off = a.offsets[unk.name]
+            n = self.dofmap_size(unk.name, level)
+            e = np.linalg.norm(delta[off:off + n])
+            s = np.linalg.norm(u[off:off + n])
+            out[unk.name] = e / max(s, 1e-250)
+        return out
+
+    def dofmap_size(self, name: str, level: int) -> int:
+        return self.ml_sol.n_dofs(name, level)
+
+
+class LinearImplicitSystem(System):
+    """One assemble + MG-preconditioned solve per level (V_CYCLE) or a
+    coarse-to-fine ratchet (F_CYCLE)."""
+
+    def solve(self) -> Dict[str, float]:
+        assert self._initialized, "call init() first"
+        n_levels = len(self.ml_mesh.levels)
+        levels = (range(n_levels) if self.config.mg_type.upper() == "F"
+                  else [n_levels - 1])
+        info = {}
+        for l in levels:
+            t0 = _time.perf_counter()
+            u = jnp.asarray(self.gather(l))
+            step = self.step_fn(l)
+            u_new, delta, res, iters = step(u, self._aux_arrays(l))
+            u_new.block_until_ready()
+            self.timing["solve"] += _time.perf_counter() - t0
+            self.scatter(np.asarray(u_new), l)
+            info = {"level": l, "residual": float(res), "iters": int(iters)}
+            if l < n_levels - 1 and self.config.mg_type.upper() == "F":
+                self.ml_sol.refine_from(l)
+                # re-impose fine-level Dirichlet values
+                self._apply_bc_values(l + 1)
+        return info
+
+    def _apply_bc_values(self, level: int) -> None:
+        for u in self.unknowns:
+            codes = self.ml_sol.bdc[level].get(u.name)
+            if codes is None:
+                continue
+            sel = codes == DIRICHLET
+            self.ml_sol.sol[level][u.name][sel] = \
+                self.ml_sol.bdc_value[level][u.name][sel]
+
+
+class NonLinearImplicitSystem(LinearImplicitSystem):
+    """Newton-MG: outer Newton loop per level (reference MGsolve,
+    NonLinearImplicitSystem.cpp:157-260)."""
+
+    def solve(self) -> Dict[str, float]:
+        assert self._initialized, "call init() first"
+        cfg = self.config
+        n_levels = len(self.ml_mesh.levels)
+        levels = (range(n_levels) if cfg.mg_type.upper() == "F"
+                  else [n_levels - 1])
+        history = []
+        for l in levels:
+            step = self.step_fn(l)
+            restarted = False
+            it = 0
+            while it < cfg.max_nonlinear:
+                u = jnp.asarray(self.gather(l))
+                t0 = _time.perf_counter()
+                u_new, delta, res, iters = step(u, self._aux_arrays(l))
+                u_new.block_until_ready()
+                self.timing["solve"] += _time.perf_counter() - t0
+                norms = self.eps_norms(np.asarray(delta), np.asarray(u_new), l)
+                worst = max(norms.values())
+                if np.isnan(worst) or np.isinf(worst):
+                    # reference "bit flip" NaN recovery: restart level once
+                    # (LinearImplicitSystem.cpp:394-449)
+                    if not restarted:
+                        restarted = True
+                        self._apply_bc_values(l)
+                        it = 0
+                        continue
+                    raise FloatingPointError(
+                        f"NaN in system '{self.name}' level {l} after restart")
+                self.scatter(np.asarray(u_new), l)
+                history.append({"level": l, "newton_it": it, "eps": norms,
+                                "lin_res": float(res), "lin_iters": int(iters)})
+                it += 1
+                if worst < cfg.nonlinear_tol:
+                    break
+            if l < n_levels - 1 and cfg.mg_type.upper() == "F":
+                self.ml_sol.refine_from(l)
+                self._apply_bc_values(l + 1)
+        self.history = history
+        return history[-1] if history else {}
