@@ -123,6 +123,25 @@ class SparseOp:
         return out.at[rows, self.cols.ravel()].add(self.data.ravel())
 
 
+def pad_pattern(pat: EllPattern, n_rows_pad: int, n_cols_pad: int) -> EllPattern:
+    """Extend a pattern with identity padding rows (row i gets a single valid
+    diagonal entry), used to make shapes divisible by a device-mesh axis.
+    Padding rows are meant to be flagged Dirichlet so assembly writes 1.0."""
+    if n_rows_pad == pat.n_rows and n_cols_pad == pat.n_cols:
+        return pat
+    extra = n_rows_pad - pat.n_rows
+    cols = np.vstack([pat.cols,
+                      np.repeat(np.arange(pat.n_rows, n_rows_pad, dtype=np.int32)[:, None],
+                                pat.width, axis=1)])
+    valid = np.vstack([pat.valid, np.zeros((extra, pat.width), bool)])
+    valid[pat.n_rows:, 0] = True
+    indptr = np.concatenate([pat.indptr,
+                             pat.indptr[-1] + 1 + np.arange(extra)])
+    indices = np.concatenate([pat.indices,
+                              np.arange(pat.n_rows, n_rows_pad, dtype=np.int64)])
+    return EllPattern(n_rows_pad, n_cols_pad, pat.width, cols, valid, indptr, indices)
+
+
 def op_from_pattern(pat: EllPattern, data: Optional[jnp.ndarray] = None,
                     dtype=jnp.float64) -> SparseOp:
     if data is None:

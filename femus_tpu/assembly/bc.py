@@ -35,6 +35,7 @@ def generate_bdc(assembler: Assembler, bc_fn: Callable, time: float = 0.0):
     out: Dict[str, tuple] = {}
     mask = np.zeros(assembler.n_dofs, bool)
     values = np.zeros(assembler.n_dofs)
+    _finalize = assembler.set_dirichlet
     for unk in assembler.unknowns:
         dm = assembler.dofmaps[unk.name]
         codes = np.full(dm.n_dofs, INTERIOR, np.int8)
@@ -67,8 +68,7 @@ def generate_bdc(assembler: Assembler, bc_fn: Callable, time: float = 0.0):
                     elif codes[d] == INTERIOR:
                         codes[d] = NEUMANN_FACE
         out[unk.name] = (codes, vals)
-    assembler.dirichlet_mask = mask
-    assembler.dirichlet_values = values
+    _finalize(mask, values)
     return out
 
 
@@ -77,6 +77,10 @@ def apply_dirichlet_values(assembler: Assembler, u: np.ndarray) -> np.ndarray:
     vals = getattr(assembler, "dirichlet_values", None)
     if vals is None:
         return u
-    u = np.asarray(u).copy()
+    u = np.asarray(u)
+    if u.shape[0] < assembler.n_dofs_pad:
+        u = np.concatenate([u, np.zeros(assembler.n_dofs_pad - u.shape[0])])
+    else:
+        u = u.copy()
     u[assembler.dirichlet_mask] = vals[assembler.dirichlet_mask]
     return u

@@ -123,7 +123,12 @@ class Assembler:
     """Assembles residual + Jacobian for a set of unknowns on one mesh level."""
 
     def __init__(self, mesh, unknowns: Sequence[Unknown], quad_order="fifth",
-                 dtype=None):
+                 dtype=None, pad_dofs_to: int = 1, pad_elems_to: int = 1):
+        """pad_dofs_to / pad_elems_to: round row and element counts up to a
+        multiple (device-mesh axis size) — padding rows become identity
+        (Dirichlet-style) and padding elements scatter out-of-bounds with
+        mode='drop', so sharded shapes stay divisible without affecting the
+        algebra."""
         self.mesh = mesh
         self.unknowns = list(unknowns)
         self.dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
@@ -150,12 +155,33 @@ class Assembler:
         self.edofs = np.concatenate(parts, axis=1).astype(np.int32)
         # ---- sparsity pattern + ELL slots ------------------------------
         ne = mesh.n_elems
+        def _round_up(x, m):
+            return -(-x // m) * m
+        self.n_dofs_pad = _round_up(self.n_dofs, pad_dofs_to)
+        self.ne_pad = _round_up(ne, pad_elems_to)
         rows = np.repeat(self.edofs, self.ndt, axis=1).ravel()
         cols = np.tile(self.edofs, (1, self.ndt)).ravel()
         self.pattern = pattern_from_pairs(rows, cols, self.n_dofs, self.n_dofs)
+        if self.n_dofs_pad != self.n_dofs:
+            from ..algebra.sparse import pad_pattern
+            self.pattern = pad_pattern(self.pattern, self.n_dofs_pad, self.n_dofs_pad)
         # slot of each (e, i, j): ELL flat position
         lut = _build_slot_lut(self.pattern)
         self.slots = lut(rows, cols).reshape(ne, self.ndt, self.ndt)
+        if self.ne_pad != ne:
+            # padding elements: gather from dof 0 (valid), scatter out of
+            # bounds (dropped)
+            pad = self.ne_pad - ne
+            self.edofs = np.vstack([self.edofs,
+                                    np.zeros((pad, self.ndt), np.int32)])
+            oob = self.pattern.n_rows * self.pattern.width
+            self.slots = np.concatenate(
+                [self.slots, np.full((pad, self.ndt, self.ndt), oob, np.int64)])
+            self._scatter_rows = np.vstack(
+                [self.edofs[:ne],
+                 np.full((pad, self.ndt), self.n_dofs_pad, np.int32)])
+        else:
+            self._scatter_rows = self.edofs
         # ---- tabulations ------------------------------------------------
         self.quad_order = quad_order
         fams = {GEO_FAMILY} | {u.family for u in unknowns}
@@ -165,9 +191,15 @@ class Assembler:
                      for f in fams}
         self.qweights = jnp.asarray(w, self.dtype)
         self.geo_conn = mesh.conn[:, g.family_nodes[GEO_FAMILY]]
-        self.coords_e = jnp.asarray(mesh.coords[self.geo_conn], self.dtype)
+        coords_e = mesh.coords[self.geo_conn]
+        if self.ne_pad != mesh.n_elems:
+            pad = self.ne_pad - mesh.n_elems
+            coords_e = np.concatenate([coords_e,
+                                       np.repeat(coords_e[:1], pad, axis=0)])
+        self.coords_e = jnp.asarray(coords_e, self.dtype)
         # ---- Dirichlet bookkeeping (set by systems layer) ---------------
-        self.dirichlet_mask = np.zeros(self.n_dofs, bool)
+        self.dirichlet_mask = np.zeros(self.n_dofs_pad, bool)
+        self.dirichlet_mask[self.n_dofs:] = True   # padding rows = identity
         # ---- forms -------------------------------------------------------
         self.volume_form: Optional[Callable] = None
         self.face_form: Optional[Callable] = None
@@ -175,6 +207,17 @@ class Assembler:
         self._faces_built = False
 
     # ------------------------------------------------------------------
+    def set_dirichlet(self, mask: np.ndarray, values: Optional[np.ndarray] = None) -> None:
+        """Install Dirichlet mask/values (sized n_dofs), preserving padding rows."""
+        m = np.zeros(self.n_dofs_pad, bool)
+        m[:self.n_dofs] = mask[:self.n_dofs]
+        m[self.n_dofs:] = True
+        self.dirichlet_mask = m
+        v = np.zeros(self.n_dofs_pad)
+        if values is not None:
+            v[:self.n_dofs] = values[:self.n_dofs]
+        self.dirichlet_values = v
+
     def set_volume_form(self, fn: Callable) -> None:
         """fn(ops: ElemOps, u: dict, aux: dict) -> dict name -> (nd,)."""
         self.volume_form = fn
@@ -192,8 +235,8 @@ class Assembler:
     def _split(self, u_flat: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         return {u.name: u_flat[self.local_slices[u.name]] for u in self.unknowns}
 
-    def _elem_residual(self, u_flat, coords, aux_loc, aux_scalars):
-        ops = ElemOps(self.tabs, self.qweights, coords, self.dim)
+    def _elem_residual(self, tabs, qweights, u_flat, coords, aux_loc, aux_scalars):
+        ops = ElemOps(tabs, qweights, coords, self.dim)
         u = self._split(u_flat)
         aux = dict(aux_scalars)
         aux.update(aux_loc)
@@ -251,8 +294,8 @@ class Assembler:
                     tabs=tabs, weights=jnp.asarray(w, self.dtype),
                 ))
 
-    def _face_residual(self, batch, u_flat, coords, grp, aux_scalars):
-        fops = FaceOps(batch["tabs"], batch["weights"], coords, self.dim, 1.0)
+    def _face_residual(self, batch, tabs, weights, u_flat, coords, grp, aux_scalars):
+        fops = FaceOps(tabs, weights, coords, self.dim, 1.0)
         u = {name: u_flat[batch["fslices"][name]] for name in batch["fslices"]}
         fams = batch["fams"]
         out = self.face_form(fops, u, fams, grp, dict(aux_scalars))
@@ -266,68 +309,116 @@ class Assembler:
         return jnp.concatenate(parts)
 
     # ------------------------------------------------------------------
-    def make_assemble_fn(self, with_jacobian: bool = True):
-        """Return a jittable function
-        (u, aux_fields: dict, aux_scalars: dict) -> (R, data | None)."""
-        edofs = jnp.asarray(self.edofs)
-        slots = jnp.asarray(self.slots.reshape(-1))
-        coords_e = self.coords_e
-        nrows, w = self.pattern.n_rows, self.pattern.width
-        dir_mask = jnp.asarray(self.dirichlet_mask)
-        ell_cols = jnp.asarray(self.pattern.cols)
-        ell_valid = jnp.asarray(self.pattern.valid)
-        row_ids = jnp.arange(nrows)[:, None]
+    def device_tables(self) -> dict:
+        """All large arrays the assembly kernel reads, as one pytree.
 
-        def assemble(u, aux_fields=None, aux_scalars=None):
+        Passing this as a jit ARGUMENT (rather than closing over it) keeps
+        multi-MB index/coordinate tables out of the compiled HLO as inlined
+        constants — which matters enormously for TPU compile time — and lets
+        Dirichlet masks / coordinates update without recompilation.
+        """
+        t = {
+            "edofs": jnp.asarray(self.edofs),
+            "scatter_rows": jnp.asarray(self._scatter_rows),
+            "slots": jnp.asarray(self.slots.reshape(-1)),
+            "coords_e": self.coords_e,
+            "dir_mask": jnp.asarray(self.dirichlet_mask),
+            "ell_cols": jnp.asarray(self.pattern.cols),
+            "ell_valid": jnp.asarray(self.pattern.valid),
+            "tabs": self.tabs,
+            "qweights": self.qweights,
+            "aux_conn": {},
+            "faces": [],
+        }
+        for name, fam in self.aux_field_specs:
+            conn = self.mesh.dofmap(fam).conn
+            if self.ne_pad != conn.shape[0]:
+                conn = np.vstack([conn, np.zeros(
+                    (self.ne_pad - conn.shape[0], conn.shape[1]), conn.dtype)])
+            t["aux_conn"][name] = jnp.asarray(conn)
+        if self.face_form is not None:
+            for b in self.face_batches:
+                t["faces"].append({
+                    "fdofs": jnp.asarray(b["fdofs"]),
+                    "coords": b["coords"],
+                    "groups": b["groups"],
+                    "weights": b["weights"],
+                    "tabs": b["tabs"],
+                    "slots": jnp.asarray(self._face_slots(b).reshape(-1)),
+                })
+        return t
+
+    def make_assemble_fn(self, with_jacobian: bool = True,
+                         pass_tables: bool = False):
+        """Return a jittable assembly function.
+
+        pass_tables=False: (u, aux_fields, aux_scalars) -> (R, data) with all
+        tables closed over (fine on CPU; convenient for tests).
+        pass_tables=True: (u, tables, aux_fields, aux_scalars) -> (R, data)
+        with tables supplied per call — the TPU-friendly form.
+        """
+        nrows, w = self.pattern.n_rows, self.pattern.width
+        row_ids = jnp.arange(nrows)[:, None]
+        const_tables = None if pass_tables else self.device_tables()
+
+        def assemble_t(u, tables, aux_fields=None, aux_scalars=None):
             aux_fields = aux_fields or {}
             aux_scalars = aux_scalars or {}
             u = u.astype(self.dtype)
-            u_loc = u[edofs]                               # (ne, ndt)
-            # gather aux fields with their own family conn
-            aux_loc = {}
-            for name, fam in self.aux_field_specs:
-                dm = self.mesh.dofmap(fam)
-                aux_loc[name] = aux_fields[name][jnp.asarray(dm.conn)]
+            u_loc = u[tables["edofs"]]                      # (ne, ndt)
+            aux_loc = {name: aux_fields[name][tables["aux_conn"][name]]
+                       for name, _ in self.aux_field_specs}
+            tabs, qw = tables["tabs"], tables["qweights"]
 
             def one(ul, cl, *aux_vals):
                 al = dict(zip([n for n, _ in self.aux_field_specs], aux_vals))
-                return self._elem_residual(ul, cl, al, aux_scalars)
+                return self._elem_residual(tabs, qw, ul, cl, al, aux_scalars)
 
             aux_arrays = [aux_loc[n] for n, _ in self.aux_field_specs]
-            r = jax.vmap(one)(u_loc, coords_e, *aux_arrays)     # (ne, ndt)
-            R = jnp.zeros(self.n_dofs, self.dtype).at[edofs.ravel()].add(r.ravel())
+            r = jax.vmap(one)(u_loc, tables["coords_e"], *aux_arrays)  # (ne, ndt)
+            R = (jnp.zeros(self.n_dofs_pad, self.dtype)
+                 .at[tables["scatter_rows"].ravel()].add(r.ravel(), mode="drop"))
 
             data = None
             if with_jacobian:
-                jac = jax.vmap(jax.jacfwd(one))(u_loc, coords_e, *aux_arrays)
-                data_flat = jnp.zeros(nrows * w, self.dtype).at[slots].add(jac.ravel())
+                jac = jax.vmap(jax.jacfwd(one))(u_loc, tables["coords_e"], *aux_arrays)
+                data_flat = (jnp.zeros(nrows * w, self.dtype)
+                             .at[tables["slots"]].add(jac.ravel(), mode="drop"))
                 data = data_flat.reshape(nrows, w)
 
             # boundary faces
             if self.face_form is not None:
-                for b in self.face_batches:
-                    fd = jnp.asarray(b["fdofs"])
+                for b, bt in zip(self.face_batches, tables["faces"]):
+                    fd = bt["fdofs"]
                     uf = u[fd]
+                    ftabs, fw = bt["tabs"], bt["weights"]
                     def fone(ul, cl, grp):
-                        return self._face_residual(b, ul, cl, grp, aux_scalars)
-                    rf = jax.vmap(fone)(uf, b["coords"], b["groups"])
+                        return self._face_residual(b, ftabs, fw, ul, cl, grp,
+                                                   aux_scalars)
+                    rf = jax.vmap(fone)(uf, bt["coords"], bt["groups"])
                     R = R.at[fd.ravel()].add(rf.ravel())
                     if with_jacobian:
-                        jf = jax.vmap(jax.jacfwd(fone))(uf, b["coords"], b["groups"])
-                        # face slots: positions within ELL via host lut
-                        fslots = self._face_slots(b)
-                        data = (data.reshape(-1).at[jnp.asarray(fslots.ravel())]
+                        jf = jax.vmap(jax.jacfwd(fone))(uf, bt["coords"], bt["groups"])
+                        data = (data.reshape(-1).at[bt["slots"]]
                                 .add(jf.ravel()).reshape(nrows, w))
 
             # Dirichlet: zero rows/cols, unit diagonal (symmetric elimination)
+            dir_mask = tables["dir_mask"]
             R = jnp.where(dir_mask, 0.0, R)
             if with_jacobian:
-                bad = dir_mask[row_ids] | dir_mask[ell_cols]
+                bad = dir_mask[row_ids] | dir_mask[tables["ell_cols"]]
                 # exactly one unit entry on the diagonal of a Dirichlet row:
                 # ell_valid excludes the diagonal-pointing padding slots
-                ident = (ell_cols == row_ids) & dir_mask[row_ids] & ell_valid
+                ident = ((tables["ell_cols"] == row_ids) & dir_mask[row_ids]
+                         & tables["ell_valid"])
                 data = jnp.where(bad, jnp.where(ident, 1.0, 0.0), data)
             return R, data
+
+        if pass_tables:
+            return assemble_t
+
+        def assemble(u, aux_fields=None, aux_scalars=None):
+            return assemble_t(u, const_tables, aux_fields, aux_scalars)
 
         return assemble
 

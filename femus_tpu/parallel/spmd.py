@@ -1,0 +1,95 @@
+"""SPMD distribution over a jax.sharding device mesh.
+
+The reference's single parallel strategy is MPI domain decomposition
+(SURVEY.md §2.4): METIS element partition, contiguous per-rank element/dof
+ranges, ghost exchange inside PETSc SpMV.  The TPU-native equivalent here:
+
+- elements and dof rows are sharded over a 1-D ``Mesh(("mesh",))`` axis
+  (row partition of the stacked KKoffset block vector);
+- the global solve step is written once and annotated with
+  ``with_sharding_constraint``; the XLA SPMD partitioner inserts the
+  collectives (all-gathers for the irregular dof gathers, reduce-scatters
+  for the scatter-adds) over ICI — the static-pattern analogue of PETSc's
+  ghost updates;
+- shapes are made divisible by the axis size via the assembler's padding
+  rows/elements (identity rows, dropped scatters).
+
+An explicit shard_map + halo-plan SpMV (ppermute-based, overlapping interior
+compute) lives in halo.py for the performance path.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..algebra.krylov import cg, gmres
+from ..algebra.mg import build_hierarchy
+from ..algebra.transfer import build_ptap_schedule, op_pair_from_scipy
+from ..assembly.engine import Assembler
+
+
+def device_mesh(n_devices: Optional[int] = None, axis: str = "mesh") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def shard_rows(mesh: Mesh, axis: str = "mesh"):
+    return NamedSharding(mesh, P(axis))
+
+
+def make_sharded_step(assembler: Assembler, mesh: Mesh,
+                      transfers: Sequence = (),
+                      dir_masks: Sequence = (),
+                      outer: str = "gmres", rtol: float = 1e-8,
+                      restart: int = 30, max_outer: int = 10,
+                      smoother: str = "jacobi",
+                      aux_scalars: Optional[dict] = None) -> Callable:
+    """One jitted Newton/linear step with row/element sharding constraints.
+
+    Returns step(u) -> (u_new, residual_norm); ``u`` is the padded stacked
+    dof vector, sharded over the mesh axis.
+    """
+    assemble = assembler.make_assemble_fn()
+    vec_sh = NamedSharding(mesh, P("mesh"))
+    row_sh = NamedSharding(mesh, P("mesh", None))
+    scalars = dict(aux_scalars or {})
+
+    def step(u):
+        u = jax.lax.with_sharding_constraint(u, vec_sh)
+        R, data = assemble(u, {}, scalars)
+        R = jax.lax.with_sharding_constraint(R, vec_sh)
+        data = jax.lax.with_sharding_constraint(data, row_sh)
+        A = assembler.op_with(data)
+        if transfers:
+            h = build_hierarchy(A, list(transfers), smoother=smoother,
+                                dir_masks=list(dir_masks))
+            M = h.as_preconditioner("V")
+        else:
+            d = A.diagonal()
+            dsafe = jnp.where(jnp.abs(d) < 1e-30, 1.0, d)
+            M = lambda r: r / dsafe
+        if outer == "cg":
+            delta, info = cg(A.matvec, -R, M=M, tol=rtol,
+                             maxiter=max_outer * restart)
+        else:
+            delta, info = gmres(A.matvec, -R, M=M, tol=rtol,
+                                restart=restart, max_restarts=max_outer)
+        u_new = jax.lax.with_sharding_constraint(u + delta, vec_sh)
+        return u_new, info.residual
+
+    return jax.jit(step,
+                   in_shardings=shard_rows(mesh),
+                   out_shardings=(shard_rows(mesh), None))
+
+
+def pad_prolongation(P_csr, nf_pad: int, nc_pad: int):
+    """Resize a prolongation matrix with zero padding rows/cols."""
+    import scipy.sparse as sp
+    Pm = sp.csr_matrix(P_csr)
+    Pm.resize((nf_pad, nc_pad))
+    return Pm.tocsr()

@@ -118,10 +118,9 @@ class System:
                 sel = codes == DIRICHLET
                 mask[off:off + len(codes)][sel] = True
                 vals[off:off + len(codes)][sel] = ml_sol.bdc_value[l][u.name][sel]
-            a.dirichlet_mask = mask
-            a.dirichlet_values = vals
+            a.set_dirichlet(mask, vals)
             self.assemblers.append(a)
-            self.masks.append(mask)
+            self.masks.append(a.dirichlet_mask)
         # transfers, chained top-down so each schedule consumes the actual
         # ELL pattern of the level above
         n_levels = len(self.ml_mesh.levels)
