@@ -170,6 +170,9 @@ class System:
             out[alias] = jnp.asarray(src[level][svar])
         return out
 
+    def _aux_scalars_traced(self) -> Dict[str, jnp.ndarray]:
+        return {k: jnp.asarray(v) for k, v in self.aux_scalars.items()}
+
     # ---- per-level jitted solve step ----------------------------------
     def _transfers_for(self, level: int):
         """PtAP-chained transfers for a hierarchy whose finest level is
@@ -212,9 +215,8 @@ class System:
         cfg = self.config
         transfers = self._transfers_for(level) if (cfg.use_mg and level > 0) else []
         dmasks = [jnp.asarray(m) for m in self.masks[:level]]
-        aux_scalars = dict(self.aux_scalars)
 
-        def step(u, aux_fields):
+        def step(u, aux_fields, aux_scalars):
             R, data = assemble(u, aux_fields, aux_scalars)
             A = a.op_with(data)
             if transfers:
@@ -272,7 +274,7 @@ class LinearImplicitSystem(System):
             t0 = _time.perf_counter()
             u = jnp.asarray(self.gather(l))
             step = self.step_fn(l)
-            u_new, delta, res, iters = step(u, self._aux_arrays(l))
+            u_new, delta, res, iters = step(u, self._aux_arrays(l), self._aux_scalars_traced())
             u_new.block_until_ready()
             self.timing["solve"] += _time.perf_counter() - t0
             self.scatter(np.asarray(u_new), l)
@@ -311,7 +313,7 @@ class NonLinearImplicitSystem(LinearImplicitSystem):
             while it < cfg.max_nonlinear:
                 u = jnp.asarray(self.gather(l))
                 t0 = _time.perf_counter()
-                u_new, delta, res, iters = step(u, self._aux_arrays(l))
+                u_new, delta, res, iters = step(u, self._aux_arrays(l), self._aux_scalars_traced())
                 u_new.block_until_ready()
                 self.timing["solve"] += _time.perf_counter() - t0
                 norms = self.eps_norms(np.asarray(delta), np.asarray(u_new), l)
