@@ -45,9 +45,9 @@ class EllPattern:
 
     def csr_to_ell_slots(self) -> np.ndarray:
         """(nnz,) flat index into data.ravel() for each CSR entry, in CSR order."""
-        rows = np.repeat(np.arange(self.n_rows), np.diff(self.indptr))
-        k = np.concatenate([np.arange(n) for n in np.diff(self.indptr)]) \
-            if self.nnz else np.zeros(0, int)
+        counts = np.diff(self.indptr)
+        rows = np.repeat(np.arange(self.n_rows), counts)
+        k = np.arange(self.nnz) - np.repeat(self.indptr[:-1], counts)
         return (rows * self.width + k).astype(np.int64)
 
 
@@ -66,7 +66,7 @@ def pattern_from_pairs(rows: np.ndarray, cols: np.ndarray,
     ell_cols = np.repeat(np.minimum(np.arange(n_rows), n_cols - 1)[:, None], w, axis=1)
     valid = np.zeros((n_rows, w), bool)
     for_r = np.repeat(np.arange(n_rows), counts)
-    k = np.concatenate([np.arange(n) for n in counts]) if m.nnz else np.zeros(0, int)
+    k = np.arange(m.nnz) - np.repeat(m.indptr[:-1], counts)
     ell_cols[for_r, k] = m.indices
     valid[for_r, k] = True
     return EllPattern(n_rows, n_cols, w, ell_cols.astype(np.int32), valid,

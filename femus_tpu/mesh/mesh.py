@@ -98,19 +98,28 @@ def build_boundary_faces(mesh: Mesh, group_fn=None) -> None:
     box convention (closest domain bounding-box side).
     """
     g = GEOMS[mesh.geom]
-    face_count: Dict[Tuple[int, ...], Tuple[int, int]] = {}
-    seen: Dict[Tuple[int, ...], int] = {}
-    for e in range(mesh.n_elems):
-        row = mesh.conn[e]
-        for i, (fg, f_bq) in enumerate(g.faces):
-            nvf = GEOMS[fg].n_verts
-            key = _face_corner_key(row, f_bq[:nvf])
-            if key in seen:
-                seen[key] += 1
-                face_count.pop(key, None)
-            else:
-                seen[key] = 1
-                face_count[key] = (e, i)
+    # vectorized: per face-arity group, build sorted-corner key arrays and
+    # keep faces whose key appears exactly once
+    found = []      # (elem, iface) pairs
+    by_arity: Dict[int, list] = {}
+    for i, (fg, f_bq) in enumerate(g.faces):
+        by_arity.setdefault(GEOMS[fg].n_verts, []).append((i, f_bq))
+    for nvf, faces in by_arity.items():
+        keys_all, elems_all, ifaces_all = [], [], []
+        for i, f_bq in faces:
+            corners = mesh.conn[:, np.asarray(f_bq[:nvf])]
+            keys_all.append(np.sort(corners, axis=1))
+            elems_all.append(np.arange(mesh.n_elems, dtype=np.int64))
+            ifaces_all.append(np.full(mesh.n_elems, i, np.int64))
+        keys = np.concatenate(keys_all)
+        elems = np.concatenate(elems_all)
+        ifaces = np.concatenate(ifaces_all)
+        uniq, inv, cnt = np.unique(keys, axis=0, return_inverse=True,
+                                   return_counts=True)
+        sel = cnt[inv] == 1
+        for e, i in zip(elems[sel], ifaces[sel]):
+            found.append((int(e), int(i)))
+    face_count = {j: ei for j, ei in enumerate(found)}
     if not face_count:
         mesh.boundary = {}
         return
