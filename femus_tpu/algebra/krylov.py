@@ -116,6 +116,62 @@ def gmres(A: Callable, b: jnp.ndarray, x0=None, M: Optional[Callable] = None,
     return x, SolveInfo(k * m, jnp.linalg.norm(r))
 
 
+def fgmres(A: Callable, b: jnp.ndarray, x0=None, M: Optional[Callable] = None,
+           tol: float = 1e-10, atol: float = 0.0, restart: int = 30,
+           max_restarts: int = 20):
+    """Flexible GMRES (right preconditioning, Saad 1993): tolerates
+    nonlinear/varying preconditioners (inner Krylov solves, Schur field-split
+    with inner CG) by storing the preconditioned basis Z."""
+    n = b.shape[0]
+    dtype = b.dtype
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    M = M or (lambda r: r)
+    m = restart
+    bnorm = jnp.linalg.norm(b)
+    target = jnp.maximum(tol * bnorm, atol)
+
+    def cycle(x):
+        r = b - A(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), dtype).at[0].set(r / jnp.where(beta == 0, 1.0, beta))
+        Z = jnp.zeros((m, n), dtype)
+        H = jnp.zeros((m + 1, m), dtype)
+
+        def arnoldi(carry, j):
+            V, Z, H = carry
+            z = M(V[j])
+            w = A(z)
+            h1 = V @ w
+            w = w - V.T @ h1
+            h2 = V @ w
+            w = w - V.T @ h2
+            h = h1 + h2
+            wnorm = jnp.linalg.norm(w)
+            H = H.at[:, j].set(h)
+            H = H.at[j + 1, j].set(wnorm)
+            V = V.at[j + 1].set(w / jnp.where(wnorm == 0, 1.0, wnorm))
+            Z = Z.at[j].set(z)
+            return (V, Z, H), None
+
+        (V, Z, H), _ = jax.lax.scan(arnoldi, (V, Z, H), jnp.arange(m))
+        e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, e1)
+        return x + Z.T @ y
+
+    def cond(state):
+        x, k = state
+        r = b - A(x)
+        return (jnp.linalg.norm(r) > target) & (k < max_restarts)
+
+    def body(state):
+        x, k = state
+        return cycle(x), k + 1
+
+    x, k = jax.lax.while_loop(cond, body, (x0, jnp.array(0)))
+    r = b - A(x)
+    return x, SolveInfo(k * m, jnp.linalg.norm(r))
+
+
 def richardson(A: Callable, b: jnp.ndarray, x0=None, M: Optional[Callable] = None,
                scale: float = 1.0, iters: int = 10):
     """Fixed-iteration preconditioned Richardson: x += scale * M(b - A x).

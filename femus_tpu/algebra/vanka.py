@@ -1,0 +1,180 @@
+"""Batched block (Vanka / ASM-style) smoothers.
+
+The reference smooths coupled saddle-point systems with PCASM subdomain
+blocks built by MeshASMPartitioning (LinearEquationSolverPetscAsm.cpp:283-292,
+MeshASMPartitioning.hpp:37: groups of elements per block, Schur-variable
+handling).  On TPU the equivalent is a *batched dense* block solve: all block
+matrices are extracted from the ELL operator with one precomputed gather and
+factorized/solved together on the MXU (SURVEY.md §2.4 "batched small dense
+block solves over blocks-within-shard").
+
+Additive overlapping Schwarz step:  x += omega * sum_b R_b^T A_bb^{-1} R_b r
+with per-dof overlap scaling.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assembly.engine import Assembler, _build_slot_lut
+from .sparse import EllPattern, SparseOp
+
+
+@dataclasses.dataclass
+class VankaBlocks:
+    """Host-precomputed block structure."""
+
+    dofs: np.ndarray        # (nb, bs) int32, padded with n (dummy)
+    slots: np.ndarray       # (nb, bs, bs) int64 flat ELL index (or oob -> 0)
+    scale: np.ndarray       # (n,) 1/overlap count
+    n: int
+    colors: Optional[np.ndarray] = None   # (nb,) block color (greedy, disjoint
+    #                                       dofs within a color)
+
+    def pad_dof(self) -> int:
+        return self.n
+
+
+def _color_blocks(blocks: Sequence[np.ndarray], n: int) -> np.ndarray:
+    """Greedy coloring so blocks of one color touch disjoint dofs."""
+    colors = np.zeros(len(blocks), np.int32)
+    used: list = []
+    for i, b in enumerate(blocks):
+        c = 0
+        while True:
+            if c == len(used):
+                used.append(np.zeros(n, bool))
+            if not used[c][b].any():
+                used[c][b] = True
+                colors[i] = c
+                break
+            c += 1
+    return colors
+
+
+def build_element_blocks(assembler: Assembler, elems_per_block: int = 4,
+                         include_pressure: bool = True) -> VankaBlocks:
+    """Blocks = dof patches of ``elems_per_block`` consecutive elements
+    (reference SetElementBlockNumber semantics, mesh-partition order)."""
+    edofs = assembler.edofs[:assembler.mesh.n_elems]
+    ne = edofs.shape[0]
+    nb = -(-ne // elems_per_block)
+    n = assembler.n_dofs_pad
+    blocks = []
+    for b in range(nb):
+        sel = edofs[b * elems_per_block:(b + 1) * elems_per_block]
+        d = np.unique(sel)
+        d = d[(d >= 0) & (d < n)]
+        # drop Dirichlet rows from blocks (their rows are identity)
+        d = d[~assembler.dirichlet_mask[d]]
+        blocks.append(d)
+    bs = max(len(b) for b in blocks)
+    dofs = np.full((nb, bs), n, np.int64)
+    for i, b in enumerate(blocks):
+        dofs[i, :len(b)] = b
+    # overlap counts
+    cnt = np.zeros(n + 1)
+    np.add.at(cnt, dofs.ravel(), 1.0)
+    scale = np.where(cnt[:n] > 0, 1.0 / np.maximum(cnt[:n], 1.0), 0.0)
+    # slots for block matrices
+    pat = assembler.pattern
+    lut = lut_with_miss(pat)
+    bi = np.repeat(dofs, bs, axis=1).reshape(nb, bs, bs)
+    bj = np.tile(dofs, (1, bs)).reshape(nb, bs, bs)
+    slots = lut(bi.ravel(), bj.ravel()).reshape(nb, bs, bs)
+    colors = _color_blocks(blocks, n)
+    return VankaBlocks(dofs.astype(np.int64), slots, scale, n, colors)
+
+
+def lut_with_miss(pattern: EllPattern):
+    """(rows, cols) -> flat ELL slot, with misses/out-of-range -> oob index."""
+    counts = np.diff(pattern.indptr)
+    csr_rows = np.repeat(np.arange(pattern.n_rows, dtype=np.int64), counts)
+    csr_keys = csr_rows * pattern.n_cols + pattern.indices
+    ell_slots = pattern.csr_to_ell_slots()
+    oob = pattern.n_rows * pattern.width
+
+    def lut(rows, cols):
+        in_range = (rows < pattern.n_rows) & (cols < pattern.n_cols)
+        keys = rows.astype(np.int64) * pattern.n_cols + cols.astype(np.int64)
+        pos = np.searchsorted(csr_keys, np.where(in_range, keys, 0))
+        pos = np.minimum(pos, len(csr_keys) - 1)
+        hit = in_range & (csr_keys[pos] == keys)
+        return np.where(hit, ell_slots[pos], oob)
+
+    return lut
+
+
+def _factor_blocks(A: SparseOp, dofs, slots, n):
+    flat = jnp.concatenate([A.data.ravel(), jnp.zeros(1, A.data.dtype)])
+    Ab = flat[slots]                                   # (nb, bs, bs)
+    rows_valid = dofs < n                              # (nb, bs)
+    bs = dofs.shape[1]
+    eye = jnp.eye(bs, dtype=A.data.dtype)
+    Ab = jnp.where(rows_valid[:, :, None] & rows_valid[:, None, :], Ab, 0.0)
+    Ab = Ab + jnp.where(rows_valid, 0.0, 1.0)[:, :, None] * eye[None]
+    return jax.scipy.linalg.lu_factor(Ab), rows_valid
+
+
+def vanka_smoother(A: SparseOp, blocks: VankaBlocks, omega: float = 1.0,
+                   iters: int = 1, multiplicative: bool = True):
+    """smooth(b, x) -> x.
+
+    multiplicative=True (default): colored sweeps — blocks of one color touch
+    disjoint dofs, so each color is one batched dense solve and colors apply
+    Gauss-Seidel-style (residual refreshed between colors).  Damping
+    omega=1.0 is stable.  multiplicative=False: single additive sweep with
+    overlap averaging (needs omega ~0.5).
+    """
+    n = blocks.n
+
+    if multiplicative and blocks.colors is not None:
+        ncol = int(blocks.colors.max()) + 1
+        per_color = []
+        for c in range(ncol):
+            sel = blocks.colors == c
+            d = jnp.asarray(blocks.dofs[sel])
+            s = jnp.asarray(blocks.slots[sel])
+            (lu, piv), rows_valid = _factor_blocks(A, d, s, n)
+            per_color.append((d, lu, piv, rows_valid))
+
+        def smooth(b, x):
+            def body(x, _):
+                for d, lu, piv, rows_valid in per_color:
+                    r = b - A @ x
+                    rpad = jnp.concatenate([r, jnp.zeros(1, r.dtype)])
+                    rb = rpad[d] * rows_valid
+                    delta = jax.scipy.linalg.lu_solve((lu, piv), rb[:, :, None])[:, :, 0]
+                    upd = jnp.zeros(n + 1, x.dtype).at[d.ravel()].add(
+                        (delta * rows_valid).ravel())
+                    x = x + omega * upd[:n]
+                return x, None
+
+            x, _ = jax.lax.scan(body, x, None, length=iters)
+            return x
+
+        return smooth
+
+    dofs = jnp.asarray(blocks.dofs)
+    slots = jnp.asarray(blocks.slots)
+    scale = jnp.asarray(blocks.scale)
+    (lu, piv), rows_valid = _factor_blocks(A, dofs, slots, n)
+
+    def smooth(b, x):
+        def body(x, _):
+            r = b - A @ x
+            rpad = jnp.concatenate([r, jnp.zeros(1, r.dtype)])
+            rb = rpad[dofs] * rows_valid                # (nb, bs)
+            delta = jax.scipy.linalg.lu_solve((lu, piv), rb[:, :, None])[:, :, 0]
+            upd = jnp.zeros(n + 1, x.dtype).at[dofs.ravel()].add(
+                (delta * rows_valid).ravel())
+            return x + omega * scale * upd[:n], None
+
+        x, _ = jax.lax.scan(body, x, None, length=iters)
+        return x
+
+    return smooth
