@@ -153,7 +153,7 @@ def spmv_dia_pallas(op: DiaOp, x: jnp.ndarray, tile: int = 32768) -> jnp.ndarray
         grid=grid,
         in_specs=[
             pl.BlockSpec((K, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),

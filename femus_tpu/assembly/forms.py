@@ -127,6 +127,77 @@ def boussinesq(vel=("u", "v"), pres: str = "p", temp: str = "T",
     return form
 
 
+def elasticity(disp=("dx", "dy"), family: str = "biquadratic",
+               model: str = "linear", lam: float = 1.0, mu: float = 1.0,
+               force: Optional[Callable] = None,
+               pres: Optional[str] = None, pres_family: str = "linear",
+               incompressible: bool = False):
+    """Solid mechanics residual, total-Lagrangian displacement formulation.
+
+    Constitutive models follow the reference ``Solid`` material
+    (Solid.cpp:62-95): "linear" (linear elastic / Saint-Venant small-strain),
+    "saint-venant" (St. Venant-Kirchhoff, finite strain), "neo-hookean"
+    (compressible Neo-Hooke, Bonet-Wood form).  With ``pres`` set, a pressure
+    field enforces (near-)incompressibility monolithically (the FSI solid
+    block of MonolithicFSINonLinearImplicitSystem).
+    """
+    dim = len(disp)
+
+    def form(ops, u, aux):
+        lam_ = aux.get("lambda", lam)
+        mu_ = aux.get("mu", mu)
+        G = jnp.stack([ops.grad(family, u[c]) for c in disp], axis=1)  # (nq, dim, dim): G[q,d,x] = du_d/dx_x
+        I = jnp.eye(dim)
+        if model == "linear":
+            eps = 0.5 * (G + jnp.swapaxes(G, 1, 2))
+            tr = jnp.trace(eps, axis1=1, axis2=2)
+            P = 2.0 * mu_ * eps + lam_ * tr[:, None, None] * I
+        elif model == "saint-venant":
+            F = I + G
+            E = 0.5 * (jnp.einsum("qki,qkj->qij", F, F) - I)
+            trE = jnp.trace(E, axis1=1, axis2=2)
+            S = 2.0 * mu_ * E + lam_ * trE[:, None, None] * I
+            P = jnp.einsum("qik,qkj->qij", F, S)
+        elif model == "neo-hookean":
+            F = I + G
+            J = jnp.linalg.det(F)
+            Finv = jnp.linalg.inv(F)
+            FinvT = jnp.swapaxes(Finv, 1, 2)
+            P = mu_ * (F - FinvT) + lam_ * jnp.log(J)[:, None, None] * FinvT
+        else:
+            raise KeyError(model)
+        out = {}
+        if pres is not None:
+            pq = ops.value(pres_family, u[pres])
+            if model == "linear":
+                P = P - pq[:, None, None] * I
+            else:
+                F = I + G
+                J = jnp.linalg.det(F)
+                FinvT = jnp.swapaxes(jnp.linalg.inv(F), 1, 2)
+                P = P - (pq * J)[:, None, None] * FinvT
+        fq = force(ops.x) if force is not None else None
+        for d, c in enumerate(disp):
+            r = ops.tgrad(family, P[:, d, :])
+            if fq is not None:
+                r = r - ops.t(family, fq[:, d])
+            out[c] = r
+        if pres is not None:
+            if model == "linear":
+                divu = jnp.trace(G, axis1=1, axis2=2)
+                cres = divu if incompressible else divu - ops.value(
+                    pres_family, u[pres]) / lam_
+            else:
+                F = I + G
+                J = jnp.linalg.det(F)
+                cres = (J - 1.0) if incompressible else (J - 1.0) - ops.value(
+                    pres_family, u[pres]) / lam_
+            out[pres] = -ops.t(pres_family, cres)
+        return out
+
+    return form
+
+
 def neumann_faces(flux: Dict[int, Callable], var: str = "u"):
     """Neumann surface term: -integral g phi ds on faces of given groups.
 
