@@ -124,9 +124,10 @@ def spmv_dia_pallas(op: DiaOp, x: jnp.ndarray, tile: int = 32768) -> jnp.ndarray
     data = op.data
     if n_pad != n:
         data = jnp.pad(data, ((0, 0), (0, n_pad - n)))
-    # window span padded so every tile's slice is in bounds
-    xpad = jnp.pad(x, (lo, hi + (n_pad - n)))
-    win = tile + span
+    # DMA slice length must be lane-aligned (128)
+    win = -(-(tile + span) // 128) * 128
+    # pad x so every tile's [i*tile, i*tile + win) window is in bounds
+    xpad = jnp.pad(x, (lo, (n_pad - n) + (win - tile - span) + hi))
     offs = [int(o) + lo for o in op.offsets]           # window-relative
 
     def kernel(d_ref, x_hbm, y_ref):

@@ -52,6 +52,7 @@ class ElemOps:
     def __init__(self, tabs: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]],
                  weights: jnp.ndarray, coords: jnp.ndarray, dim: int):
         self.dim = dim
+        self._tabs, self._weights, self.coords = tabs, weights, coords
         gphi, gdphi = tabs[GEO_FAMILY]
         # geometric map: J[q, d, x] = dx_x / dxi_d
         J = jnp.einsum("qnd,nx->qdx", gdphi, coords)
@@ -63,6 +64,15 @@ class ElemOps:
         # physical gradients: dphi[q, n, x] = dphi_ref[q,n,d] * dxi_d/dx_x
         self._dphi = {f: jnp.einsum("qnd,qxd->qnx", t[1], invJ)
                       for f, t in tabs.items()}
+
+    def moved(self, disp_nodes: jnp.ndarray) -> "ElemOps":
+        """ElemOps on the displaced configuration x = X + d (ALE / moving
+        mesh; the reference's type_mov=adouble geometry, ElemType_template
+        JacJacInv over adouble coords).  disp_nodes: (nd_geo, dim) built from
+        the displacement unknowns, so jacfwd differentiates through the
+        geometry."""
+        return ElemOps(self._tabs, self._weights, self.coords + disp_nodes,
+                       self.dim)
 
     # ---- interpolation -------------------------------------------------
     def value(self, fam: str, u: jnp.ndarray) -> jnp.ndarray:
@@ -317,7 +327,11 @@ class Assembler:
         constants — which matters enormously for TPU compile time — and lets
         Dirichlet masks / coordinates update without recompilation.
         """
+        eg = self.mesh.elem_group
+        if self.ne_pad != len(eg):
+            eg = np.concatenate([eg, np.zeros(self.ne_pad - len(eg), eg.dtype)])
         t = {
+            "elem_group": jnp.asarray(eg),
             "edofs": jnp.asarray(self.edofs),
             "scatter_rows": jnp.asarray(self._scatter_rows),
             "slots": jnp.asarray(self.slots.reshape(-1)),
@@ -370,18 +384,21 @@ class Assembler:
                        for name, _ in self.aux_field_specs}
             tabs, qw = tables["tabs"], tables["qweights"]
 
-            def one(ul, cl, *aux_vals):
+            def one(ul, cl, grp, *aux_vals):
                 al = dict(zip([n for n, _ in self.aux_field_specs], aux_vals))
+                al["group"] = grp
                 return self._elem_residual(tabs, qw, ul, cl, al, aux_scalars)
 
             aux_arrays = [aux_loc[n] for n, _ in self.aux_field_specs]
-            r = jax.vmap(one)(u_loc, tables["coords_e"], *aux_arrays)  # (ne, ndt)
+            r = jax.vmap(one)(u_loc, tables["coords_e"], tables["elem_group"],
+                              *aux_arrays)  # (ne, ndt)
             R = (jnp.zeros(self.n_dofs_pad, self.dtype)
                  .at[tables["scatter_rows"].ravel()].add(r.ravel(), mode="drop"))
 
             data = None
             if with_jacobian:
-                jac = jax.vmap(jax.jacfwd(one))(u_loc, tables["coords_e"], *aux_arrays)
+                jac = jax.vmap(jax.jacfwd(one))(u_loc, tables["coords_e"],
+                                                tables["elem_group"], *aux_arrays)
                 data_flat = (jnp.zeros(nrows * w, self.dtype)
                              .at[tables["slots"]].add(jac.ravel(), mode="drop"))
                 data = data_flat.reshape(nrows, w)
