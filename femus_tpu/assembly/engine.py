@@ -227,6 +227,7 @@ class Assembler:
         if values is not None:
             v[:self.n_dofs] = values[:self.n_dofs]
         self.dirichlet_values = v
+        self._tables_cache = None
 
     def set_volume_form(self, fn: Callable) -> None:
         """fn(ops: ElemOps, u: dict, aux: dict) -> dict name -> (nd,)."""
@@ -319,6 +320,12 @@ class Assembler:
         return jnp.concatenate(parts)
 
     # ------------------------------------------------------------------
+    def device_tables_cached(self) -> dict:
+        """device_tables() with caching; invalidated by set_dirichlet."""
+        if getattr(self, "_tables_cache", None) is None:
+            self._tables_cache = self.device_tables()
+        return self._tables_cache
+
     def device_tables(self) -> dict:
         """All large arrays the assembly kernel reads, as one pytree.
 

@@ -211,13 +211,13 @@ class System:
         if level in self._step_fns:
             return self._step_fns[level]
         a = self.assemblers[level]
-        assemble = a.make_assemble_fn()
+        assemble = a.make_assemble_fn(pass_tables=True)
         cfg = self.config
         transfers = self._transfers_for(level) if (cfg.use_mg and level > 0) else []
         dmasks = [jnp.asarray(m) for m in self.masks[:level]]
 
-        def step(u, aux_fields, aux_scalars):
-            R, data = assemble(u, aux_fields, aux_scalars)
+        def step(u, tables, aux_fields, aux_scalars):
+            R, data = assemble(u, tables, aux_fields, aux_scalars)
             A = a.op_with(data)
             if transfers:
                 h = build_hierarchy(A, transfers, smoother=cfg.smoother,
@@ -274,7 +274,7 @@ class LinearImplicitSystem(System):
             t0 = _time.perf_counter()
             u = jnp.asarray(self.gather(l))
             step = self.step_fn(l)
-            u_new, delta, res, iters = step(u, self._aux_arrays(l), self._aux_scalars_traced())
+            u_new, delta, res, iters = step(u, self.assemblers[l].device_tables_cached(), self._aux_arrays(l), self._aux_scalars_traced())
             u_new.block_until_ready()
             self.timing["solve"] += _time.perf_counter() - t0
             self.scatter(np.asarray(u_new), l)
@@ -313,7 +313,7 @@ class NonLinearImplicitSystem(LinearImplicitSystem):
             while it < cfg.max_nonlinear:
                 u = jnp.asarray(self.gather(l))
                 t0 = _time.perf_counter()
-                u_new, delta, res, iters = step(u, self._aux_arrays(l), self._aux_scalars_traced())
+                u_new, delta, res, iters = step(u, self.assemblers[l].device_tables_cached(), self._aux_arrays(l), self._aux_scalars_traced())
                 u_new.block_until_ready()
                 self.timing["solve"] += _time.perf_counter() - t0
                 norms = self.eps_norms(np.asarray(delta), np.asarray(u_new), l)
