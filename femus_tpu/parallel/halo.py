@@ -1,0 +1,107 @@
+"""Halo-exchange SpMV over a device mesh (shard_map + all_to_all).
+
+The reference's ghost-dof exchange lives inside PETSc's VecGhost/MatMult
+(SURVEY.md §2.4: ``_ghostDofs`` Mesh.hpp:543).  TPU-native equivalent with a
+*static* communication schedule (static sparsity -> static plan, SURVEY.md
+§5.8): rows are range-partitioned; at setup the host computes, per shard
+pair (src, dst), the local x entries src must ship to dst; one padded
+``all_to_all`` per SpMV delivers every ghost, then the local ELL gather runs
+on [own x | ghost buffer].  This is the explicit-collective fast path — the
+spmd.py path instead lets the XLA partitioner insert all-gathers.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..algebra.sparse import EllPattern
+
+
+@dataclasses.dataclass
+class HaloPlan:
+    """Static plan for one row-partitioned ELL operator."""
+
+    n_shards: int
+    rows_per_shard: int          # R (padded)
+    m: int                       # max ghosts per (src, dst) pair (padded)
+    send_idx: np.ndarray         # (S_src, S_dst, m): local idx in src to send
+    cols_local: np.ndarray       # (S * R, w) remapped ELL columns
+    n_rows: int                  # original (padded) row count = S * R
+
+
+def build_halo_plan(pattern: EllPattern, n_shards: int) -> HaloPlan:
+    n = pattern.n_rows
+    assert n % n_shards == 0, "pad rows to a multiple of the shard count first"
+    R = n // n_shards
+    cols = pattern.cols
+    owner = cols // R                                  # (n, w)
+    need = [[None] * n_shards for _ in range(n_shards)]
+    m = 1
+    for s in range(n_shards):
+        blk_cols = cols[s * R:(s + 1) * R]
+        blk_owner = owner[s * R:(s + 1) * R]
+        for t in range(n_shards):
+            if t == s:
+                continue
+            ghost = np.unique(blk_cols[blk_owner == t])
+            need[s][t] = ghost
+            m = max(m, len(ghost))
+    send_idx = np.zeros((n_shards, n_shards, m), np.int32)
+    ghost_pos = {}                                     # (s, t) -> {col: k}
+    for s in range(n_shards):
+        for t in range(n_shards):
+            if t == s or need[s][t] is None:
+                continue
+            g = need[s][t]
+            send_idx[t, s, :len(g)] = g - t * R        # t sends to s
+            ghost_pos[(s, t)] = {int(c): k for k, c in enumerate(g)}
+    # remap columns to local frame: own -> [0, R); ghost from t -> R + t*m + k
+    cols_local = np.empty_like(cols)
+    for s in range(n_shards):
+        blk = cols[s * R:(s + 1) * R]
+        own = blk - s * R
+        out = np.where((blk >= s * R) & (blk < (s + 1) * R), own, 0)
+        for t in range(n_shards):
+            if t == s:
+                continue
+            sel = (blk // R) == t
+            if not sel.any():
+                continue
+            gp = ghost_pos[(s, t)]
+            mapped = np.vectorize(lambda c: gp[int(c)])(blk[sel])
+            out[sel] = R + t * m + mapped
+        cols_local[s * R:(s + 1) * R] = out
+    return HaloPlan(n_shards, R, m, send_idx, cols_local.astype(np.int32), n)
+
+
+def make_halo_spmv(plan: HaloPlan, mesh: Mesh, axis: str = "mesh"):
+    """Return spmv(data, x) -> y with data (n, w) and x/y (n,) all sharded by
+    rows over ``axis``; one all_to_all per application."""
+    S, R, m = plan.n_shards, plan.rows_per_shard, plan.m
+    send_idx = jnp.asarray(plan.send_idx)              # (S, S, m)
+    cols_local = jnp.asarray(plan.cols_local)
+    row_sharding = NamedSharding(mesh, P(axis))
+
+    def local(data_blk, cols_blk, send_blk, x_blk):
+        # shapes per shard: (R, w), (R, w), (1, S, m), (R,)
+        send = x_blk[send_blk[0]]                      # (S, m)
+        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=False)
+        # recv: (S, m) — chunk t originates on shard t
+        xfull = jnp.concatenate([x_blk, recv.reshape(-1)])
+        return (data_blk * xfull[cols_blk]).sum(axis=-1)
+
+    smapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None, None), P(axis)),
+        out_specs=P(axis))
+
+    def spmv(data, x):
+        return smapped(data, cols_local, send_idx, x)
+
+    return spmv, row_sharding
