@@ -135,16 +135,16 @@ def spmv_dia_pallas(op: DiaOp, x: jnp.ndarray, tile: int = 32768) -> jnp.ndarray
 
         def body(xwin, sem):
             cp = pltpu.make_async_copy(
-                x_hbm.at[0, pl.ds(i * tile, win)], xwin, sem)
+                x_hbm.at[:, pl.ds(i * tile, win)], xwin, sem)
             cp.start()
             cp.wait()
-            acc = d_ref[0, :] * xwin[offs[0]:offs[0] + tile]
+            acc = d_ref[0, :] * xwin[0, offs[0]:offs[0] + tile]
             for k in range(1, K):
-                acc = acc + d_ref[k, :] * xwin[offs[k]:offs[k] + tile]
+                acc = acc + d_ref[k, :] * xwin[0, offs[k]:offs[k] + tile]
             y_ref[0, :] = acc
 
         pl.run_scoped(body,
-                      xwin=pltpu.VMEM((win,), x.dtype),
+                      xwin=pltpu.VMEM((1, win), x.dtype),
                       sem=pltpu.SemaphoreType.DMA)
 
     grid = (n_pad // tile,)

@@ -57,6 +57,26 @@ def nonlinear_diffusion(var: str = "u", family: str = "biquadratic",
     return form
 
 
+def biharmonic_coupled(u_var: str = "u", v_var: str = "v",
+                       family: str = "biquadratic",
+                       rhs: Optional[Callable] = None):
+    """Biharmonic lap(lap u) = f as the coupled second-order system
+    v = -lap u, -lap v = f (reference 01_biharmonic_coupled.hpp; tutorial
+    ex04/ex05), simply-supported BCs u = v = 0."""
+
+    def form(ops, u, aux):
+        gu = ops.grad(family, u[u_var])
+        gv = ops.grad(family, u[v_var])
+        vq = ops.value(family, u[v_var])
+        ru = ops.tgrad(family, gu) - ops.t(family, vq)
+        rv = ops.tgrad(family, gv)
+        if rhs is not None:
+            rv = rv - ops.t(family, rhs(ops.x))
+        return {u_var: ru, v_var: rv}
+
+    return form
+
+
 def navier_stokes(vel=("u", "v"), pres: str = "p",
                   vel_family: str = "biquadratic", pres_family: str = "linear",
                   nu: float = 1.0, force: Optional[Callable] = None,
