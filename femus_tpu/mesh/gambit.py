@@ -76,7 +76,7 @@ _PERMS = _perms()
 _NN_TO_FAMILY = {
     ("edge", 2): "linear", ("edge", 3): "biquadratic",
     ("quad", 4): "linear", ("quad", 8): "serendipity", ("quad", 9): "biquadratic",
-    ("tri", 3): "linear", ("tri", 6): "serendipity",
+    ("tri", 3): "linear", ("tri", 6): "serendipity", ("tri", 7): "biquadratic",
     ("hex", 8): "linear", ("hex", 20): "serendipity", ("hex", 27): "biquadratic",
     ("tet", 4): "linear", ("tet", 10): "serendipity",
     ("wedge", 6): "linear", ("wedge", 15): "serendipity", ("wedge", 18): "biquadratic",
