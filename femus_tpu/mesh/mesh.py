@@ -54,6 +54,8 @@ class Mesh:
     # refinement lineage (filled by refine): parent elem id and child slot
     parent_elem: Optional[np.ndarray] = None
     child_slot: Optional[np.ndarray] = None
+    # per-element refinement level for mixed-level AMR meshes (None = uniform)
+    elem_level: Optional[np.ndarray] = None
     _dofmaps: Dict[str, DofMap] = dataclasses.field(default_factory=dict)
     # element partition (filled by parallel setup): elem -> shard id
     elem_shard: Optional[np.ndarray] = None
