@@ -106,7 +106,9 @@ def build_hierarchy(fine_op: SparseOp,
                     n_pre: int = 2, n_post: int = 2,
                     jacobi_omega: float = 0.8,
                     cheb_degree: int = 3,
-                    dir_masks: Optional[Sequence] = None) -> MGHierarchy:
+                    dir_masks: Optional[Sequence] = None,
+                    vanka_blocks: Optional[Sequence] = None,
+                    vanka_omega: float = 0.9) -> MGHierarchy:
     """Construct the hierarchy from the finest assembled op via PtAP chain.
 
     transfers[i] connects level i (coarse) to level i+1 (fine); the finest
@@ -133,7 +135,11 @@ def build_hierarchy(fine_op: SparseOp,
         diag = A.diagonal()
         # guard zero diagonals (e.g. pressure block) for smoother scaling
         safe = jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
-        if smoother == "jacobi":
+        if (smoother == "vanka" and vanka_blocks is not None
+                and vanka_blocks[l] is not None):
+            from .vanka import vanka_smoother
+            sm = vanka_smoother(A, vanka_blocks[l], omega=vanka_omega)
+        elif smoother == "jacobi":
             sm = jacobi_smoother(A.matvec, safe, jacobi_omega, iters=1)
         else:
             lam = power_lambda_max(A.matvec, 1.0 / safe, A.n_rows)

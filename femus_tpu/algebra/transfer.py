@@ -90,7 +90,11 @@ def build_ptap_schedule(fine_pattern: EllPattern, P: sp.csr_matrix,
                           fine_pattern.indptr),
                          shape=(fine_pattern.n_rows, fine_pattern.n_cols))
     Pc = P.tocsr()
-    C = (Pc.T @ ones @ Pc).tocsr()
+    # symbolic product with |P|: signed entries (disc_linear frame-change
+    # blocks) can cancel exactly and punch holes in the coarse pattern
+    Pabs = Pc.copy()
+    Pabs.data = np.abs(Pabs.data)
+    C = (Pabs.T @ ones @ Pabs).tocsr()
     C.sort_indices()
     coo = C.tocoo()
     # always include the diagonal so Dirichlet identity rows exist on coarse

@@ -57,9 +57,14 @@ def _color_blocks(blocks: Sequence[np.ndarray], n: int) -> np.ndarray:
 
 
 def build_element_blocks(assembler: Assembler, elems_per_block: int = 4,
-                         include_pressure: bool = True) -> VankaBlocks:
+                         include_pressure: bool = True,
+                         pattern: Optional[EllPattern] = None) -> VankaBlocks:
     """Blocks = dof patches of ``elems_per_block`` consecutive elements
-    (reference SetElementBlockNumber semantics, mesh-partition order)."""
+    (reference SetElementBlockNumber semantics, mesh-partition order).
+
+    pattern: ELL pattern the target operator uses (defaults to the
+    assembler's own; pass the PtAP coarse pattern when smoothing a
+    Galerkin-coarsened operator)."""
     edofs = assembler.edofs[:assembler.mesh.n_elems]
     ne = edofs.shape[0]
     nb = -(-ne // elems_per_block)
@@ -81,7 +86,7 @@ def build_element_blocks(assembler: Assembler, elems_per_block: int = 4,
     np.add.at(cnt, dofs.ravel(), 1.0)
     scale = np.where(cnt[:n] > 0, 1.0 / np.maximum(cnt[:n], 1.0), 0.0)
     # slots for block matrices
-    pat = assembler.pattern
+    pat = pattern if pattern is not None else assembler.pattern
     lut = lut_with_miss(pat)
     bi = np.repeat(dofs, bs, axis=1).reshape(nb, bs, bs)
     bj = np.tile(dofs, (1, bs)).reshape(nb, bs, bs)

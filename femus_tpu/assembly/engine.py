@@ -129,6 +129,62 @@ class FaceOps:
         return self._phi[fam].T @ (self.wds * s)
 
 
+class VolumeFaceOps:
+    """Face quadrature with the owning ELEMENT's trial space: values,
+    physical gradients and normal derivatives of volume basis functions on
+    a boundary face (Nitsche, DG-type terms). Geometry (normal, surface
+    measure) comes from the face trace like FaceOps; trial data from the
+    volume tabulation at the face quadrature points."""
+
+    def __init__(self, vtabs, ftabs, weights, ecoords, fcoords, dim, sign):
+        # face geometry: normal + ds (same as FaceOps)
+        gphi, gdphi = ftabs[GEO_FAMILY]
+        self.x = gphi @ fcoords
+        T = jnp.einsum("qnd,nx->qdx", gdphi, fcoords)
+        if dim == 2:
+            t = T[:, 0, :]
+            ds = jnp.linalg.norm(t, axis=-1)
+            n = jnp.stack([t[:, 1], -t[:, 0]], axis=-1) / ds[:, None]
+        elif dim == 3:
+            cr = jnp.cross(T[:, 0, :], T[:, 1, :])
+            ds = jnp.linalg.norm(cr, axis=-1)
+            n = cr / ds[:, None]
+        else:
+            ds = jnp.ones(weights.shape)
+            n = jnp.ones((weights.shape[0], 1))
+        self.normal = n * sign
+        self.wds = weights * ds
+        # volume trial space at the face qps
+        self._vtabs = vtabs
+        vgphi, vgdphi = vtabs[GEO_FAMILY]
+        Jv = jnp.einsum("qnd,nx->qxd", vgdphi, ecoords)   # (nq, dim, dim)
+        self._invJ = jnp.linalg.inv(Jv)
+        # characteristic face size for penalty scaling: measure^(1/(dim-1))
+        measure = self.wds.sum()
+        self.h = measure if dim <= 2 else jnp.sqrt(measure)
+
+    def value(self, fam, ue):
+        return self._vtabs[fam][0] @ ue
+
+    def grad(self, fam, ue):
+        dphi = jnp.einsum("qnd,qxd->qnx", self._vtabs[fam][1], self._invJ)
+        return jnp.einsum("qnx,n->qx", dphi, ue)
+
+    def dn(self, fam, ue):
+        """normal derivative du/dn at the face qps."""
+        return jnp.einsum("qx,qx->q", self.grad(fam, ue), self.normal)
+
+    def t(self, fam, s):
+        """integral s * phi_i ds over element-local dofs."""
+        return self._vtabs[fam][0].T @ (self.wds * s)
+
+    def tn(self, fam, s):
+        """integral s * dphi_i/dn ds (symmetrizing Nitsche term)."""
+        dphi = jnp.einsum("qnd,qxd->qnx", self._vtabs[fam][1], self._invJ)
+        dn = jnp.einsum("qnx,qx->qn", dphi, self.normal)
+        return dn.T @ (self.wds * s)
+
+
 class Assembler:
     """Assembles residual + Jacobian for a set of unknowns on one mesh level."""
 
@@ -233,9 +289,16 @@ class Assembler:
         """fn(ops: ElemOps, u: dict, aux: dict) -> dict name -> (nd,)."""
         self.volume_form = fn
 
-    def set_face_form(self, fn: Callable) -> None:
-        """fn(fops: FaceOps, u: dict, group: int scalar, aux: dict) -> dict."""
+    def set_face_form(self, fn: Callable, volume: bool = False) -> None:
+        """fn(fops: FaceOps, u: dict, group: int scalar, aux: dict) -> dict.
+
+        volume=True: the form needs the owning ELEMENT's trial space on the
+        face (normal derivatives, Nitsche/DG terms): u carries full
+        element-local dof vectors, fops is a VolumeFaceOps, and residuals are
+        per element-local dof (reference boundary loops that call the volume
+        ``JacobianSur``, 03_navier_stokes.hpp:193-301)."""
         self.face_form = fn
+        self.face_form_volume = volume
         self._build_face_tables()
 
     def add_aux_field(self, name: str, family: str) -> None:
@@ -296,14 +359,34 @@ class Assembler:
                     tabs[fam] = (jnp.asarray(t.phi, self.dtype),
                                  jnp.asarray(t.dphi, self.dtype))
                 tabs[GEO_FAMILY] = tabs[gff]
-                self.face_batches.append(dict(
+                batch = dict(
                     fgeom=fg, iface=int(iface),
                     fdofs=fdofs,
                     fslices=fslices, fams=fams, ndf=loc0,
                     coords=jnp.asarray(fcoords, self.dtype),
                     groups=jnp.asarray(bf.group[sel], jnp.int32),
                     tabs=tabs, weights=jnp.asarray(w, self.dtype),
-                ))
+                )
+                if getattr(self, "face_form_volume", False):
+                    # volume trial space at the face quadrature points:
+                    # face-ref -> volume-ref via the face's bq ref nodes
+                    from ..fe.basis import get_basis
+                    fgeo, f_bq = g.faces[int(iface)]
+                    fb = get_basis(fgeo, GEO_FAMILY)
+                    xi_vol = np.asarray(fb.eval(pts)) @ np.asarray(
+                        g.ref_nodes[np.asarray(f_bq)])
+                    vtabs = {}
+                    vol_fams = {u.family for u in self.unknowns} | {GEO_FAMILY}
+                    for fam in vol_fams:
+                        vb = get_basis(mesh.geom, fam)
+                        vtabs[fam] = (
+                            jnp.asarray(np.asarray(vb.eval(xi_vol)), self.dtype),
+                            jnp.asarray(np.asarray(vb.eval_grad(xi_vol)),
+                                        self.dtype))
+                    batch["vtabs"] = vtabs
+                    batch["eidx"] = self.edofs[bf.elem[sel]]
+                    batch["ecoords"] = self.coords_e[np.asarray(bf.elem[sel])]
+                self.face_batches.append(batch)
 
     def _face_residual(self, batch, tabs, weights, u_flat, coords, grp, aux_scalars):
         fops = FaceOps(tabs, weights, coords, self.dim, 1.0)
@@ -359,14 +442,18 @@ class Assembler:
             t["aux_conn"][name] = jnp.asarray(conn)
         if self.face_form is not None:
             for b in self.face_batches:
-                t["faces"].append({
+                ft = {
                     "fdofs": jnp.asarray(b["fdofs"]),
                     "coords": b["coords"],
                     "groups": b["groups"],
                     "weights": b["weights"],
                     "tabs": b["tabs"],
                     "slots": jnp.asarray(self._face_slots(b).reshape(-1)),
-                })
+                }
+                if getattr(self, "face_form_volume", False):
+                    ft["eidx"] = jnp.asarray(b["eidx"])
+                    ft["ecoords"] = b["ecoords"]
+                t["faces"].append(ft)
         return t
 
     def make_assemble_fn(self, with_jacobian: bool = True,
@@ -411,7 +498,38 @@ class Assembler:
                 data = data_flat.reshape(nrows, w)
 
             # boundary faces
-            if self.face_form is not None:
+            if self.face_form is not None and getattr(
+                    self, "face_form_volume", False):
+                for b, bt in zip(self.face_batches, tables["faces"]):
+                    ei = bt["eidx"]
+                    ue_all = u[ei]
+                    ftabs, fw = b["tabs"], bt["weights"]
+                    vtabs = b["vtabs"]
+
+                    def fone(ue, ecl, fcl, grp):
+                        fops = VolumeFaceOps(vtabs, ftabs, fw, ecl, fcl,
+                                             self.dim, 1.0)
+                        uu = self._split(ue)
+                        out = self.face_form(fops, uu, grp,
+                                             dict(aux_scalars))
+                        parts = []
+                        for un in self.unknowns:
+                            r = out.get(un.name)
+                            if r is None:
+                                sl = self.local_slices[un.name]
+                                r = jnp.zeros(sl.stop - sl.start, self.dtype)
+                            parts.append(r)
+                        return jnp.concatenate(parts)
+
+                    rf = jax.vmap(fone)(ue_all, bt["ecoords"], bt["coords"],
+                                        bt["groups"])
+                    R = R.at[ei.ravel()].add(rf.ravel(), mode="drop")
+                    if with_jacobian:
+                        jf = jax.vmap(jax.jacfwd(fone))(
+                            ue_all, bt["ecoords"], bt["coords"], bt["groups"])
+                        data = (data.reshape(-1).at[bt["slots"]]
+                                .add(jf.ravel(), mode="drop").reshape(nrows, w))
+            elif self.face_form is not None:
                 for b, bt in zip(self.face_batches, tables["faces"]):
                     fd = bt["fdofs"]
                     uf = u[fd]
@@ -449,7 +567,8 @@ class Assembler:
     def _face_slots(self, batch):
         if "slots" not in batch:
             lut = _build_slot_lut(self.pattern)
-            fd = batch["fdofs"]
+            fd = (batch["eidx"] if getattr(self, "face_form_volume", False)
+                  else batch["fdofs"])
             n = fd.shape[1]
             rows = np.repeat(fd, n, axis=1).ravel()
             cols = np.tile(fd, (1, n)).ravel()

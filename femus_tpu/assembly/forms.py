@@ -12,7 +12,7 @@ u <- u + delta with J delta = -R.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Sequence
 
 import jax.numpy as jnp
 
@@ -233,3 +233,33 @@ def neumann_faces(flux: Dict[int, Callable], var: str = "u"):
         return {var: r}
 
     return form
+
+
+def nitsche_dirichlet(var: str = "u", family: str = "biquadratic",
+                      g_fn: Optional[Callable] = None, gamma: float = 20.0,
+                      kappa: float = 1.0, groups: Optional[Sequence] = None):
+    """Weak Dirichlet enforcement by Nitsche's method (reference ``Nitsche``
+    application): on boundary faces (optionally restricted to ``groups``)
+
+      - kappa du/dn v  - kappa dv/dn (u - g)  + gamma kappa / h (u - g) v
+
+    Use with ``Assembler.set_face_form(form, volume=True)`` — the terms need
+    the owning element's trial space (VolumeFaceOps).  No strong Dirichlet
+    rows are eliminated; convergence is optimal for gamma large enough
+    (scales with the polynomial degree squared)."""
+
+    def face_form(fops, u, grp, aux):
+        import jax.numpy as jnp
+        uq = fops.value(family, u[var])
+        dn = fops.dn(family, u[var])
+        gq = g_fn(fops.x) if g_fn is not None else 0.0
+        mism = uq - gq
+        sel = 1.0
+        if groups is not None:
+            sel = sum((grp == g0).astype(uq.dtype) for g0 in groups)
+        r = (-kappa * fops.t(family, dn * sel)
+             - kappa * fops.tn(family, mism * sel)
+             + gamma * kappa / fops.h * fops.t(family, mism * sel))
+        return {var: r}
+
+    return face_form

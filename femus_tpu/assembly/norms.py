@@ -66,6 +66,21 @@ def l2_norm_field(mesh, family: str, u, quad_order="ninth") -> float:
     return z
 
 
+def integrate_field(mesh, family: str, u, quad_order="ninth") -> float:
+    """integral of the FE function u over the mesh (e.g. total mass)."""
+    dtype = jnp.asarray(u).dtype
+    gphi, gdphi, fphi, _, w, coords_e, conn = _setup(mesh, family, quad_order,
+                                                     dtype)
+    u = jnp.asarray(u)
+
+    def one(ul, cl):
+        J = jnp.einsum("qnd,nx->qdx", gdphi, cl)
+        detJ = jnp.abs(jnp.linalg.det(J))
+        return ((fphi @ ul) * w * detJ).sum()
+
+    return float(jax.vmap(one)(u[conn], coords_e).sum())
+
+
 def integrate(mesh, fn: Callable, quad_order="ninth", dtype=jnp.float64) -> float:
     """integral of fn(x) over the mesh (host-facing convenience)."""
     g = GEOMS[mesh.geom]

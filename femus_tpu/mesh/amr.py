@@ -126,11 +126,16 @@ def refine_selective(mesh: Mesh, flags: np.ndarray) -> Mesh:
                            np.full(len(cop_ids), -1, np.int32)])
     group = np.concatenate([np.repeat(mesh.elem_group[ref_ids], nk),
                             mesh.elem_group[cop_ids]])
+    mat = None
+    if mesh.elem_material is not None:
+        mat = np.concatenate([np.repeat(mesh.elem_material[ref_ids], nk),
+                              mesh.elem_material[cop_ids]]).astype(np.int32)
     level = np.concatenate([np.repeat(lev[ref_ids] + 1, nk), lev[cop_ids]])
 
     fine = Mesh(dim=mesh.dim, geom=mesh.geom, coords=coords, conn=conn_all,
                 elem_group=group.astype(np.int32), parent_elem=parent,
-                child_slot=slot, elem_level=level.astype(np.int32))
+                child_slot=slot, elem_level=level.astype(np.int32),
+                elem_material=mat)
     _propagate_boundary(mesh, fine, flags, nk, ref_ids, cop_ids)
     return fine
 

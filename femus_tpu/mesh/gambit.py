@@ -126,21 +126,35 @@ def read_neu(path: str, scale: float = 1.0) -> Mesh:
     family = _NN_TO_FAMILY[(geom, nn)]
     conn = np.stack(conns)[:, perm]                     # my ordering, family order
 
-    # element groups (materials)
+    # element groups: the GROUP section's *name line* is the group label the
+    # reference exposes as GetElementGroup (GambitIO.cpp:298-310 — gr_name is
+    # the token after the NFLAGS value, i.e. the line below the header); the
+    # MATERIAL field is a separate property (SetElementMaterial)
     elem_group = np.zeros(nelem, np.int32)
+    elem_material = np.zeros(nelem, np.int32)
     for _ in range(ngrps):
         seek("ELEMENT GROUP")
         hdr = lines[i].split()
-        # GROUP: n ELEMENTS: m MATERIAL: mat ...
-        grp_num = int(hdr[1])
+        # GROUP: n ELEMENTS: m MATERIAL: mat NFLAGS: k
         n_in = int(hdr[3])
         mat = int(hdr[5])
-        i += 2                                          # skip name + flags lines
+        nflags = int(hdr[7]) if len(hdr) > 7 else 1
+        try:
+            gr_name = int(lines[i + 1].split()[0])
+        except (ValueError, IndexError):
+            gr_name = int(hdr[1])
+        i += 2                                  # header + name line
+        # skip the solver-flag line(s): nflags values
+        nseen = 0
+        while nseen < nflags:
+            nseen += len(lines[i].split())
+            i += 1
         ids: List[int] = []
         while len(ids) < n_in:
             ids += [int(v) for v in lines[i].split()]
             i += 1
-        elem_group[np.array(ids) - 1] = mat
+        elem_group[np.array(ids) - 1] = gr_name
+        elem_material[np.array(ids) - 1] = mat
 
     # boundary condition sets -> (elem, gambit face, group)
     bcs: List[Tuple[int, int, int]] = []
@@ -157,7 +171,8 @@ def read_neu(path: str, scale: float = 1.0) -> Mesh:
     # complete to biquadratic
     conn_bq, coords_bq = _complete_biquadratic(geom, family, conn, coords)
     mesh = Mesh(dim=dim, geom=geom, coords=coords_bq * scale,
-                conn=conn_bq.astype(np.int32), elem_group=elem_group)
+                conn=conn_bq.astype(np.int32), elem_group=elem_group,
+                elem_material=elem_material)
     if bcs:
         _attach_bc_faces(mesh, bcs)
     else:

@@ -56,6 +56,9 @@ class Mesh:
     child_slot: Optional[np.ndarray] = None
     # per-element refinement level for mixed-level AMR meshes (None = uniform)
     elem_level: Optional[np.ndarray] = None
+    # per-element material id (reference SetElementMaterial; None = use
+    # elem_group, which mesh constructors without materials default to)
+    elem_material: Optional[np.ndarray] = None
     _dofmaps: Dict[str, DofMap] = dataclasses.field(default_factory=dict)
     # element partition (filled by parallel setup): elem -> shard id
     elem_shard: Optional[np.ndarray] = None

@@ -94,7 +94,9 @@ def refine(mesh: Mesh) -> Mesh:
     child_slot = np.tile(np.arange(nk, dtype=np.int32), mesh.n_elems)
     fine = Mesh(dim=mesh.dim, geom=mesh.geom, coords=coords, conn=conn,
                 elem_group=np.repeat(mesh.elem_group, nk),
-                parent_elem=parent_elem, child_slot=child_slot)
+                parent_elem=parent_elem, child_slot=child_slot,
+                elem_material=(np.repeat(mesh.elem_material, nk)
+                               if mesh.elem_material is not None else None))
     _refine_boundary(mesh, fine, nk)
     return fine
 

@@ -86,7 +86,9 @@ def partition_mesh(mesh: Mesh, n_shards: int, method: str = "rcb",
                             if mesh.parent_elem is not None else None),
                child_slot=(mesh.child_slot[perm]
                            if mesh.child_slot is not None else None),
-               elem_level=lev)
+               elem_level=lev,
+               elem_material=(mesh.elem_material[perm]
+                              if mesh.elem_material is not None else None))
     out.elem_shard = part_sorted.copy()
     # boundary faces: remap element ids and node ids
     out.boundary = {}

@@ -40,10 +40,13 @@ class SolverConfig:
     atol: float = 1e-50
     restart: int = 30
     max_outer: int = 20             # GMRES restarts / CG maxiter scale
-    smoother: str = "chebyshev"     # "chebyshev" | "jacobi"
+    smoother: str = "chebyshev"     # "chebyshev" | "jacobi" | "vanka"
     n_pre: int = 2
     n_post: int = 2
     cheb_degree: int = 3
+    # vanka/ASM block smoother (reference FEMuS_ASM + SetElementBlockNumber)
+    vanka_block_elems: int = 2
+    vanka_omega: float = 0.9
     mg_type: str = "V"              # "V" | "F" (F = coarse-to-fine ratchet)
     use_mg: bool = True
     # nonlinear
@@ -216,6 +219,19 @@ class System:
         transfers = self._transfers_for(level) if (cfg.use_mg and level > 0) else []
         dmasks = [jnp.asarray(m) for m in self.masks[:level]]
 
+        vblocks = None
+        if cfg.smoother == "vanka":
+            from ..algebra.vanka import build_element_blocks
+            if transfers:
+                vblocks = []
+                for l in range(level + 1):
+                    pat = (transfers[l][2].coarse_pattern if l < len(transfers)
+                           else None)
+                    vblocks.append(build_element_blocks(
+                        self.assemblers[l], cfg.vanka_block_elems, pattern=pat))
+            else:
+                vblocks = [build_element_blocks(a, cfg.vanka_block_elems)]
+
         def step(u, tables, aux_fields, aux_scalars):
             R, data = assemble(u, tables, aux_fields, aux_scalars)
             A = a.op_with(data)
@@ -223,8 +239,14 @@ class System:
                 h = build_hierarchy(A, transfers, smoother=cfg.smoother,
                                     n_pre=cfg.n_pre, n_post=cfg.n_post,
                                     cheb_degree=cfg.cheb_degree,
-                                    dir_masks=dmasks)
+                                    dir_masks=dmasks,
+                                    vanka_blocks=vblocks,
+                                    vanka_omega=cfg.vanka_omega)
                 M = h.as_preconditioner("V")
+            elif cfg.smoother == "vanka":
+                from ..algebra.vanka import vanka_smoother
+                sm = vanka_smoother(A, vblocks[0], omega=cfg.vanka_omega)
+                M = lambda r: sm(jnp.zeros_like(r), r)
             else:
                 d = A.diagonal()
                 dsafe = jnp.where(jnp.abs(d) < 1e-30, 1.0, d)
