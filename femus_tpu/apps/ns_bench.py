@@ -1,0 +1,124 @@
+"""Steady Navier-Stokes + temperature on the Turek cylinder channel.
+
+Equivalent of the reference's golden regression app
+``unittests/testNSSteadyDD/main.cpp``:
+
+- mesh ``input/nsbenc.neu`` (channel 2.2 x 0.41 with cylinder r=0.05 at
+  (0.2, 0.2)), refined uniformly; golden norms measured at level 3
+  (main.cpp:204-237)
+- U, V, T Lagrange SECOND (biquadratic); P DISCONTINUOUS FIRST (P1dc)
+- NS weak form main.cpp:616-700: grad-grad viscous term with IRe = 0.001,
+  full-Newton advection, pressure term +p dphi/dx_d, continuity psi*div(u);
+  do-nothing outflow
+- T form main.cpp:874-905: IPe * grad(T).grad(phi) + (U.grad T) phi
+- BCs main.cpp:289-392: face group 1 inflow (U = parabolic profile, T = 1),
+  2 outflow (natural), 3 channel walls (no-slip, T natural),
+  4 cylinder (no-slip, T = 5)
+
+The golden U/V/P values are the *converged discrete solution* at level 3 (the
+reference F-cycle ratchets through every level and its Newton converges far
+below the stored digits — verified: a direct-LU Newton solve matches all
+three to ~1e-10 relative).  The golden T value is the *initialized* field at
+level 3: the reference solves T with V_CYCLE, which only runs on the finest
+level (LinearImplicitSystem.cpp:300-311), so level 3 keeps the GenerateBdc
+Dirichlet insertion (T=1 inflow nodes, T=5 cylinder nodes, 0 elsewhere).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..assembly.bc import generate_bdc, apply_dirichlet_values
+from ..assembly.engine import Assembler, Unknown
+from ..assembly.forms import navier_stokes
+from ..mesh.gambit import read_neu
+from ..mesh.refine import refine
+
+MESH = "/root/reference/unittests/testNSSteadyDD/input/nsbenc.neu"
+
+GOLD = {"U": 35.68179309424519, "V": 6.86749406268887,
+        "P": 3.10222750612995, "T": 57.69748694700662}
+
+IRE = 0.001   # 1/Re from Fluid(parameter, mu=0.001, rho=1) (main.cpp:228)
+IPE = 0.001   # 1/Pe = 1/(Pr*Re), Pr = cp*mu/k = 1 (Fluid.cpp:81)
+
+
+def inflow_u(y):
+    return 1.5 * 0.2 * (4.0 / 0.1681) * y * (0.41 - y)
+
+
+def bc_ns(var, x, grp, t):
+    if var == "U":
+        if grp == 1:
+            return True, inflow_u(x[1])
+        if grp == 2:
+            return False, 0.0
+        return True, 0.0
+    if var == "V":
+        if grp == 2:
+            return False, 0.0
+        return True, 0.0
+    return False, 0.0          # P: no Dirichlet anywhere (main.cpp:354-371)
+
+
+def bc_temperature(var, x, grp, t):
+    if grp == 1:
+        return True, 1.0
+    if grp == 4:
+        return True, 5.0
+    return False, 0.0
+
+
+def load_mesh(levels: int = 3):
+    mesh = read_neu(MESH)
+    for _ in range(levels):
+        mesh = refine(mesh)
+    return mesh
+
+
+def make_ns_assembler(mesh, dtype=jnp.float64) -> Assembler:
+    asm = Assembler(mesh, [Unknown("U", "biquadratic"),
+                           Unknown("V", "biquadratic"),
+                           Unknown("P", "disc_linear")],
+                    quad_order="seventh", dtype=dtype)
+    asm.set_volume_form(navier_stokes(("U", "V"), "P",
+                                      pres_family="disc_linear", nu=IRE))
+    generate_bdc(asm, bc_ns)
+    return asm
+
+
+def temperature_form(ops, u, aux):
+    GT = ops.grad("biquadratic", u["T"])
+    Uq = ops.value("biquadratic", aux["U"])
+    Vq = ops.value("biquadratic", aux["V"])
+    adv = Uq * GT[:, 0] + Vq * GT[:, 1]
+    return {"T": IPE * ops.tgrad("biquadratic", GT)
+            + ops.t("biquadratic", adv)}
+
+
+def make_temperature_assembler(mesh, dtype=jnp.float64) -> Assembler:
+    asmT = Assembler(mesh, [Unknown("T", "biquadratic")],
+                     quad_order="seventh", dtype=dtype)
+    asmT.add_aux_field("U", "biquadratic")
+    asmT.add_aux_field("V", "biquadratic")
+    asmT.set_volume_form(temperature_form)
+    generate_bdc(asmT, bc_temperature)
+    return asmT
+
+
+def initial_guess(asm: Assembler, mesh) -> np.ndarray:
+    u = np.zeros(asm.n_dofs)
+    nU = asm.dofmaps["U"].n_dofs
+    u[asm.offsets["U"]:asm.offsets["U"] + nU] = inflow_u(
+        mesh.coords[asm.dofmaps["U"].nodes, 1])
+    return apply_dirichlet_values(asm, u)
+
+
+def var_norm(asm: Assembler, u: np.ndarray, name: str) -> float:
+    off, n = asm.offsets[name], asm.dofmaps[name].n_dofs
+    return float(np.linalg.norm(u[off:off + n]))
+
+
+def bdc_initialized_T(asmT: Assembler, mesh) -> np.ndarray:
+    """The level-3 T field of the reference run: zeros + Dirichlet values."""
+    return apply_dirichlet_values(asmT, np.zeros(asmT.n_dofs))
