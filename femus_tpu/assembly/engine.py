@@ -54,16 +54,29 @@ class ElemOps:
         self.dim = dim
         self._tabs, self._weights, self.coords = tabs, weights, coords
         gphi, gdphi = tabs[GEO_FAMILY]
-        # geometric map: J[q, d, x] = dx_x / dxi_d
+        sdim = coords.shape[-1]
+        # geometric map: J[q, d, x] = dx_x / dxi_d  (d: reference, x: ambient)
         J = jnp.einsum("qnd,nx->qdx", gdphi, coords)
-        detJ = jnp.linalg.det(J)
-        invJ = jnp.linalg.inv(J)                      # invJ[q, x, d] = ...
-        self.x = gphi @ coords                        # (nq, dim) physical qp
-        self.wdet = weights * jnp.abs(detJ)           # (nq,)
+        self.x = gphi @ coords                        # (nq, sdim) physical qp
         self._phi = {f: t[0] for f, t in tabs.items()}
-        # physical gradients: dphi[q, n, x] = dphi_ref[q,n,d] * dxi_d/dx_x
-        self._dphi = {f: jnp.einsum("qnd,qxd->qnx", t[1], invJ)
-                      for f, t in tabs.items()}
+        if sdim == dim:
+            detJ = jnp.linalg.det(J)
+            invJ = jnp.linalg.inv(J)                  # invJ[q, x, d]
+            self.wdet = weights * jnp.abs(detJ)       # (nq,)
+            # physical gradients: dphi[q,n,x] = dphi_ref[q,n,d] dxi_d/dx_x
+            self._dphi = {f: jnp.einsum("qnd,qxd->qnx", t[1], invJ)
+                          for f, t in tabs.items()}
+        else:
+            # embedded manifold (surface/curve FE, e.g. the reference's
+            # Willmore-surface and Conformal apps on *3D.neu meshes): first
+            # fundamental form G = J J^T, area element sqrt(det G),
+            # tangential gradients G^{-1} J in ambient coordinates
+            G = jnp.einsum("qdx,qex->qde", J, J)      # (nq, dim, dim)
+            self.wdet = weights * jnp.sqrt(jnp.linalg.det(G))
+            GinvJ = jnp.einsum("qde,qex->qdx", jnp.linalg.inv(G), J)
+            self._dphi = {f: jnp.einsum("qnd,qdx->qnx", t[1], GinvJ)
+                          for f, t in tabs.items()}
+            self._jac = J
 
     def moved(self, disp_nodes: jnp.ndarray) -> "ElemOps":
         """ElemOps on the displaced configuration x = X + d (ALE / moving
@@ -73,6 +86,27 @@ class ElemOps:
         geometry."""
         return ElemOps(self._tabs, self._weights, self.coords + disp_nodes,
                        self.dim)
+
+    # ---- raw tabulations (custom forms, e.g. the reference FSI app's
+    # no-Jacobian ALE smoothing term, testFSISteady main.cpp:741) ---------
+    @property
+    def qweights(self) -> jnp.ndarray:
+        """Raw quadrature weights (no geometric Jacobian): (nq,)."""
+        return self._weights
+
+    def phi(self, fam: str) -> jnp.ndarray:
+        """Shape functions at quadrature points: (nq, nd)."""
+        return self._phi[fam]
+
+    def dphi(self, fam: str) -> jnp.ndarray:
+        """Physical gradients at quadrature points: (nq, nd, dim)."""
+        return self._dphi[fam]
+
+    def dphi_ref(self, fam: str) -> jnp.ndarray:
+        """Reference-frame derivatives d(phi)/d(xi) at quadrature points:
+        (nq, nd, dim_ref) — parametric derivatives for metric-based surface
+        forms (the reference Conformal apps' GetDPhiDXi/GetDPhiDEta)."""
+        return self._tabs[fam][1]
 
     # ---- interpolation -------------------------------------------------
     def value(self, fam: str, u: jnp.ndarray) -> jnp.ndarray:

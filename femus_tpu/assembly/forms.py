@@ -185,7 +185,27 @@ def elasticity(disp=("dx", "dy"), family: str = "biquadratic",
             FinvT = jnp.swapaxes(Finv, 1, 2)
             P = mu_ * (F - FinvT) + lam_ * jnp.log(J)[:, None, None] * FinvT
         else:
-            raise KeyError(model)
+            # full reference registry (Solid.cpp:62-95): Bonet-Wood /
+            # Allan-Bower / Mooney-Rivlin variants via the shared
+            # constitutive module (pressure handled there when given)
+            from ..systems.constitutive import first_piola
+            pq = (ops.value(pres_family, u[pres])
+                  if pres is not None else None)
+            P = first_piola(model, G, mu_, lam_, p=pq, incompressible=True)
+            fq2 = force(ops.x) if force is not None else None
+            out = {}
+            for d, c in enumerate(disp):
+                r = ops.tgrad(family, P[:, d, :])
+                if fq2 is not None:
+                    r = r - ops.t(family, fq2[:, d])
+                out[c] = r
+            if pres is not None:
+                F = I + G
+                J = jnp.linalg.det(F)
+                cres = (J - 1.0) if incompressible else \
+                    (J - 1.0) - ops.value(pres_family, u[pres]) / lam_
+                out[pres] = -ops.t(pres_family, cres)
+            return out
         out = {}
         if pres is not None:
             pq = ops.value(pres_family, u[pres])
@@ -214,6 +234,36 @@ def elasticity(disp=("dx", "dy"), family: str = "biquadratic",
                     pres_family, u[pres]) / lam_
             out[pres] = -ops.t(pres_family, cres)
         return out
+
+    return form
+
+
+def willmore_graph(u_var: str = "u", w_var: str = "W",
+                   family: str = "biquadratic", c: float = 0.0):
+    """Willmore flow of a graph z = u(x, y), coupled second-order system
+    (reference applications/Willmore/WillmoreGraph/ex2/ex2.cpp:485-522):
+
+      A^2 = 1 + |grad u|^2,  B = I - grad(u) grad(u)^T / A^2
+      W-eq:  (2 W / A) phi + (grad u / A) . grad phi = 0      (W = curvature)
+      u-eq:  (1/A) [ B grad W - (W^2/A^2 + c) grad u ] . grad phi = 0
+
+    Exact steady solution: any sphere cap u = sqrt(R^2 - r^2) with
+    W = -1/u (spheres are Willmore surfaces)."""
+
+    def form(ops, u, aux):
+        Gu = ops.grad(family, u[u_var])                   # (nq, dim)
+        Wq = ops.value(family, u[w_var])
+        GW = ops.grad(family, u[w_var])
+        A2 = 1.0 + jnp.sum(Gu * Gu, axis=-1)
+        A = jnp.sqrt(A2)
+        # B gradW = gradW - (gradu . gradW) gradu / A^2
+        BgW = GW - (jnp.sum(Gu * GW, axis=-1) / A2)[:, None] * Gu
+        flux_u = (BgW - ((Wq * Wq / A2 + c))[:, None] * Gu) / A[:, None]
+        return {
+            w_var: (ops.t(family, -2.0 * Wq / A)
+                    - ops.tgrad(family, Gu / A[:, None])),
+            u_var: ops.tgrad(family, flux_u),
+        }
 
     return form
 

@@ -42,21 +42,35 @@ def error_norms(mesh, family: str, u, exact: Callable,
 
     def one(ul, cl):
         J = jnp.einsum("qnd,nx->qdx", gdphi, cl)
-        detJ = jnp.abs(jnp.linalg.det(J))
-        invJ = jnp.linalg.inv(J)
+        if cl.shape[-1] == J.shape[1]:
+            wdet = w * jnp.abs(jnp.linalg.det(J))
+            invJT = jnp.swapaxes(jnp.linalg.inv(J), 1, 2)   # (nq, d, x)
+        else:
+            # embedded manifold: area element + tangential gradients
+            G = jnp.einsum("qdx,qex->qde", J, J)
+            wdet = w * jnp.sqrt(jnp.linalg.det(G))
+            invJT = jnp.einsum("qde,qex->qdx", jnp.linalg.inv(G), J)
         xq = gphi @ cl
-        wdet = w * detJ
         uh = fphi @ ul
         e2 = ((uh - exact(xq)) ** 2 * wdet).sum()
         h2 = 0.0
         if exact_grad is not None:
-            dphi = jnp.einsum("qnd,qxd->qnx", fdphi, invJ)
+            dphi = jnp.einsum("qnd,qdx->qnx", fdphi, invJT)
             gh = jnp.einsum("qnx,n->qx", dphi, ul)
             h2 = (((gh - exact_grad(xq)) ** 2).sum(axis=-1) * wdet).sum()
         return e2, h2
 
     e2, h2 = jax.vmap(one)(u[conn], coords_e)
     return float(jnp.sqrt(e2.sum())), float(jnp.sqrt(h2.sum()))
+
+
+def _wdet(gdphi, w, cl):
+    """Quadrature weights x volume (or manifold area) element."""
+    J = jnp.einsum("qnd,nx->qdx", gdphi, cl)
+    if cl.shape[-1] == J.shape[1]:
+        return w * jnp.abs(jnp.linalg.det(J))
+    G = jnp.einsum("qdx,qex->qde", J, J)
+    return w * jnp.sqrt(jnp.linalg.det(G))
 
 
 def l2_norm_field(mesh, family: str, u, quad_order="ninth") -> float:
@@ -74,9 +88,7 @@ def integrate_field(mesh, family: str, u, quad_order="ninth") -> float:
     u = jnp.asarray(u)
 
     def one(ul, cl):
-        J = jnp.einsum("qnd,nx->qdx", gdphi, cl)
-        detJ = jnp.abs(jnp.linalg.det(J))
-        return ((fphi @ ul) * w * detJ).sum()
+        return ((fphi @ ul) * _wdet(gdphi, w, cl)).sum()
 
     return float(jax.vmap(one)(u[conn], coords_e).sum())
 
@@ -92,8 +104,6 @@ def integrate(mesh, fn: Callable, quad_order="ninth", dtype=jnp.float64) -> floa
     w = jnp.asarray(tg.weights, dtype)
 
     def one(cl):
-        J = jnp.einsum("qnd,nx->qdx", gdphi, cl)
-        detJ = jnp.abs(jnp.linalg.det(J))
-        return (fn(gphi @ cl) * w * detJ).sum()
+        return (fn(gphi @ cl) * _wdet(gdphi, w, cl)).sum()
 
     return float(jax.vmap(one)(coords_e).sum())
