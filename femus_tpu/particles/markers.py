@@ -76,7 +76,9 @@ def _inverse_newton(geom: str, coords_e, xp_phys, xi0, iters: int = 6):
         dxi = jnp.linalg.solve(J.T, r)
         return xi - dxi, None
 
-    xi, _ = jax.lax.scan(step, xi0, None, length=iters)
+    # tie the initial carry to the inputs so its "varying" axes match the
+    # scan body's output under shard_map (see jax shard_map scan-vma rule)
+    xi, _ = jax.lax.scan(step, xi0 + 0.0 * xp_phys, None, length=iters)
     return xi
 
 
@@ -157,7 +159,7 @@ def make_advect_fn(mesh: Mesh, vel_families: Sequence[str], order: int = 2,
             e_new = jnp.where(inside | done | left, e, nxt)
             return (e_new, done | inside | left), None
 
-        (e, _), _ = jax.lax.scan(body, (e, jnp.asarray(False)), None,
+        (e, _), _ = jax.lax.scan(body, (e, e != e), None,
                                  length=max_hops)
         ce = coords[conn[e]]
         xi = _inverse_newton(mesh.geom, ce, xp, center)
