@@ -47,11 +47,12 @@ def chip_bw():
 
 def build_operator(n):
     """Assembled Q2 Poisson operator on an n x n quad mesh; returns
-    (ell_op, dia_op_or_None, nnz)."""
+    (ell_op, dia_op_or_None, stencil_op_or_None, nnz)."""
     from femus_tpu.assembly.bc import generate_bdc
     from femus_tpu.assembly.engine import Assembler, Unknown
     from femus_tpu.assembly.forms import poisson
     from femus_tpu.algebra.dia import build_dia_plan
+    from femus_tpu.algebra.stencil import build_stencil
     from femus_tpu.mesh.generation import unit_box
 
     mesh = unit_box((n, n), "quad")
@@ -64,37 +65,62 @@ def build_operator(n):
     u0 = jnp.zeros(asm.n_dofs_pad, jnp.float32)
     R, data = assemble(u0, tables)
     A = asm.op_with(data)
-    D = None
+    D = S = None
     plan = build_dia_plan(asm.pattern, max_diags=64)
     if plan is not None:
         D = plan.apply(data, asm.pattern.n_rows)
-    return A, D, asm.pattern.nnz
+        S = build_stencil(D, row_width=2 * n + 1)
+    return A, D, S, asm.pattern.nnz
 
 
-def bench_op(op, matvec, iters=100):
+def _timed_sweep(op, matvec, iters):
     @jax.jit
     def sweep(op, x):
         def body(v, _):
             w = matvec(op, v)
             return w / jnp.max(jnp.abs(w)), None
         y, _ = jax.lax.scan(body, x, None, length=iters)
-        return y
+        return y[:1]
 
     x = jnp.ones(op.n_rows, jnp.float32)
-    sweep(op, x).block_until_ready()          # compile + warm
+    np.asarray(sweep(op, x))                  # compile + warm
     best = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
-        sweep(op, x).block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / iters)
+        np.asarray(sweep(op, x))              # forced fetch = real sync
+        best = min(best, time.perf_counter() - t0)
     return best
+
+
+def bench_op(op, matvec, iters=100):
+    """Per-matvec seconds by the two-length slope method.
+
+    block_until_ready does NOT reliably synchronize through the axon
+    tunnel (measured: constant ~0.15 ms regardless of scan length), so we
+    force a host fetch and difference two scan lengths to cancel the
+    ~20 ms dispatch+fetch latency."""
+    t_short = _timed_sweep(op, matvec, 10)
+    t_long = _timed_sweep(op, matvec, 10 + iters)
+    return max((t_long - t_short) / iters, 1e-9)
 
 
 def main():
     n = int(os.environ.get("BENCH_N", "512"))
-    A, D, nnz = build_operator(n)
+    A, D, S, nnz = build_operator(n)
     results = {}
-    if D is not None:
+    if S is not None:
+        # XLA-fused 2-D static-slice stencil: the fastest measured path
+        # (fuses 25 shifted multiply-adds into one HBM pass over the
+        # weights; ~75% of absolute HBM roofline)
+        t = bench_op(S, lambda op, v: op.matvec(v))
+        results["stencil_xla"] = nnz / t
+        try:
+            from femus_tpu.algebra.stencil import spmv_stencil_pallas
+            t = bench_op(S, lambda op, v: spmv_stencil_pallas(op, v))
+            results["stencil_pallas"] = nnz / t
+        except Exception:
+            pass
+    if D is not None and not results:
         try:
             from femus_tpu.algebra.dia import spmv_dia_pallas
             t = bench_op(D, lambda op, v: spmv_dia_pallas(op, v))
