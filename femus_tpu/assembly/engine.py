@@ -303,6 +303,8 @@ class Assembler:
         # ---- forms -------------------------------------------------------
         self.volume_form: Optional[Callable] = None
         self.face_form: Optional[Callable] = None
+        self.particle_form: Optional[Callable] = None
+        self.particle_payload_names: Tuple[str, ...] = ()
         self.aux_field_specs: List[Tuple[str, str]] = []   # (name, family)
         self._faces_built = False
 
@@ -338,6 +340,54 @@ class Assembler:
     def add_aux_field(self, name: str, family: str) -> None:
         """Auxiliary field gathered like an unknown (old solution, coupling)."""
         self.aux_field_specs.append((name, family))
+
+    def set_particle_form(self, fn: Callable,
+                          payload_names: Sequence[str]) -> None:
+        """Residual contribution of material points to their owner element.
+
+        fn(u: dict name -> (nd,) element-local dofs, p: dict payload-name ->
+        per-particle arrays, aux: dict scalars) -> dict name -> (nd,).
+
+        This is the monolithic MPM-FSI coupling hook: the reference adds
+        solid-particle stress/inertia terms to the background-grid momentum
+        rows inside the assembly loop (applications/MPM_FSI; grid transfer
+        Line.hpp:81-87).  Particle terms couple only the owner element's
+        dofs, so the Jacobian lands in the existing element ELL slots.
+        Particle data is regrouped per call via :meth:`particle_tables` and
+        supplied as ``tables['particles']``.
+        """
+        self.particle_form = fn
+        self.particle_payload_names = tuple(payload_names)
+
+    def particle_tables(self, elems: np.ndarray, payload: Dict[str, jnp.ndarray],
+                        ppe: int) -> dict:
+        """Group particles by owner element (host) into fixed (ne, ppe) slots.
+
+        elems: (np_,) owner element per particle (−1 = inactive).  payload:
+        per-particle arrays (np_, ...), gathered on device into
+        (ne_pad, ppe, ...).  Raises if any element holds more than ``ppe``
+        particles (static capacity — resize and re-jit, the AMR rule)."""
+        elems = np.asarray(elems)
+        idx = np.zeros((self.ne_pad, ppe), np.int32)
+        mask = np.zeros((self.ne_pad, ppe), bool)
+        fill = np.zeros(self.ne_pad, np.int32)
+        order = np.argsort(elems, kind="stable")
+        for i in order:
+            e = elems[i]
+            if e < 0:
+                continue
+            if fill[e] >= ppe:
+                raise ValueError(
+                    f"element {e} holds more than ppe={ppe} particles")
+            idx[e, fill[e]] = i
+            mask[e, fill[e]] = True
+            fill[e] += 1
+        gidx = jnp.asarray(idx)
+        return {
+            "mask": jnp.asarray(mask),
+            "payload": {k: jnp.asarray(v)[gidx]
+                        for k, v in payload.items()},
+        }
 
     # ------------------------------------------------------------------
     def _split(self, u_flat: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -467,6 +517,7 @@ class Assembler:
             "qweights": self.qweights,
             "aux_conn": {},
             "faces": [],
+            "particles": None,
         }
         for name, fam in self.aux_field_specs:
             conn = self.mesh.dofmap(fam).conn
@@ -530,6 +581,39 @@ class Assembler:
                 data_flat = (jnp.zeros(nrows * w, self.dtype)
                              .at[tables["slots"]].add(jac.ravel(), mode="drop"))
                 data = data_flat.reshape(nrows, w)
+
+            # material-point contributions (monolithic MPM-FSI coupling)
+            if (self.particle_form is not None
+                    and tables.get("particles") is not None):
+                pt = tables["particles"]
+                pnames = self.particle_payload_names
+                pay = [pt["payload"][k] for k in pnames]
+
+                def pone(ul, m, *pv):
+                    uu = self._split(ul)
+
+                    def single(mi, *one):
+                        pd = dict(zip(pnames, one))
+                        out = self.particle_form(uu, pd, dict(aux_scalars))
+                        parts = []
+                        for un in self.unknowns:
+                            rr = out.get(un.name)
+                            if rr is None:
+                                sl = self.local_slices[un.name]
+                                rr = jnp.zeros(sl.stop - sl.start, self.dtype)
+                            parts.append(rr)
+                        vec = jnp.concatenate(parts)
+                        return jnp.where(mi, vec, jnp.zeros_like(vec))
+
+                    return jax.vmap(single)(m, *pv).sum(axis=0)
+
+                rp = jax.vmap(pone)(u_loc, pt["mask"], *pay)
+                R = R.at[tables["scatter_rows"].ravel()].add(
+                    rp.ravel(), mode="drop")
+                if with_jacobian:
+                    jp = jax.vmap(jax.jacfwd(pone))(u_loc, pt["mask"], *pay)
+                    data = (data.reshape(-1).at[tables["slots"]]
+                            .add(jp.ravel(), mode="drop").reshape(nrows, w))
 
             # boundary faces
             if self.face_form is not None and getattr(
