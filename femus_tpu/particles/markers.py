@@ -121,13 +121,15 @@ def locate(cloud: MarkerCloud, guess: Optional[np.ndarray] = None,
 
 
 def make_advect_fn(mesh: Mesh, vel_families: Sequence[str], order: int = 2,
-                   max_hops: int = 4, dtype=None):
+                   max_hops: int = 4, dtype=None,
+                   force_fn: Optional[Callable] = None):
     """Build a jitted advection substep over a velocity FE field.
 
     Returns step(x, elem, vel_dofs: tuple of (n_dofs,) per component, dt)
     -> (x_new, elem_new).  order: 2 (midpoint RK2) or 4 (classical RK4)
-    (reference Line::AdvectionParallel RK2/RK4).
-    """
+    (reference Line::AdvectionParallel RK2/RK4).  force_fn(x) -> (dim,)
+    adds a body-force velocity increment (the reference's optional Force
+    argument — e.g. particles.forces.magnetic_force)."""
     dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     g = GEOMS[mesh.geom]
     dim = mesh.dim
@@ -144,7 +146,10 @@ def make_advect_fn(mesh: Mesh, vel_families: Sequence[str], order: int = 2,
         for d in range(dim):
             phi = vbases[d].eval(xi[None, :], jnp)[0]
             comps.append(phi @ vel_dofs[d][vconns[d][e]])
-        return jnp.stack(comps)
+        vv = jnp.stack(comps)
+        if force_fn is not None:
+            vv = vv + force_fn(xp)
+        return vv
 
     def relocate(xp, e):
         def body(carry, _):
@@ -192,10 +197,10 @@ def make_advect_fn(mesh: Mesh, vel_families: Sequence[str], order: int = 2,
 
 def advect(cloud: MarkerCloud, vel_dofs: Sequence[np.ndarray],
            vel_families: Sequence[str], T: float, n_steps: int,
-           order: int = 2) -> None:
+           order: int = 2, force_fn: Optional[Callable] = None) -> None:
     """Advect the cloud through a steady velocity field for time T
     (reference Line::AdvectionParallel)."""
-    step = make_advect_fn(cloud.mesh, vel_families, order)
+    step = make_advect_fn(cloud.mesh, vel_families, order, force_fn=force_fn)
     dt = T / n_steps
     x = jnp.asarray(cloud.x)
     e = jnp.asarray(cloud.elem)
