@@ -144,3 +144,58 @@ def test_ns_newton_quadratic_convergence():
     # quadratic-ish contraction until solver floor
     assert eps_seq[-1] < 1e-10
     assert len(eps_seq) <= 8, eps_seq
+
+
+# ---- Boussinesq: differentially heated cavity ---------------------------
+
+def test_boussinesq_heated_cavity():
+    """Buoyancy-driven cavity (reference 04_boussinesq.hpp semantics,
+    004_Boussinesq app): hot left wall T=0.5, cold right wall T=-0.5,
+    insulated top/bottom, no-slip everywhere; at low Ra the flow is a single
+    clockwise convection roll (hot fluid rises on the left)."""
+    from femus_tpu.assembly.forms import boussinesq
+    ml_mesh = MultiLevelMesh(unit_box((8, 8), "quad"), 1)
+    ml_sol = MultiLevelSolution(ml_mesh)
+    for name in ("u", "v", "T"):
+        ml_sol.add_solution(name, "biquadratic")
+    ml_sol.add_solution("p", "linear")
+    for name in ("u", "v", "p", "T"):
+        ml_sol.initialize(name)
+
+    def bc(var, x, grp, t):
+        if var in ("u", "v"):
+            return True, 0.0
+        if var == "T":
+            if abs(x[0]) < 1e-9:
+                return True, 0.5            # hot left wall
+            if abs(x[0] - 1.0) < 1e-9:
+                return True, -0.5           # cold right wall
+            return False, 0.0               # insulated top/bottom
+        return False, 0.0                   # pressure: natural
+
+    ml_sol.attach_bc(bc)
+    ml_sol.generate_bdc("u", "v", "p", "T")
+    prob = MultiLevelProblem(ml_mesh, ml_sol, quad_order="fifth")
+    sys = prob.add_system(NonLinearImplicitSystem, "Boussinesq")
+    sys.add_unknown("u", "v", "p", "T")
+    sys.set_assembly(boussinesq(("u", "v"), "p", "T", ra=1e3, pr=0.71))
+    sys.config.outer = "gmres"
+    sys.config.rtol = 1e-10
+    sys.config.max_nonlinear = 12
+    sys.config.nonlinear_tol = 1e-8
+    sys.init()
+    hist = sys.solve()
+    u = ml_sol.sol[-1]["u"]
+    v = ml_sol.sol[-1]["v"]
+    T = ml_sol.sol[-1]["T"]
+    xy = ml_mesh.finest().coords[ml_mesh.finest().dofmap("biquadratic").nodes]
+    # convection actually happens
+    assert np.abs(u).max() > 1e-3 and np.abs(v).max() > 1e-3
+    # clockwise roll: fluid rises near hot (left) wall ...
+    left_mid = (np.abs(xy[:, 0] - 0.25) < 0.06) & (np.abs(xy[:, 1] - 0.5) < 0.06)
+    assert v[left_mid].mean() > 0
+    # ... and moves right along the top
+    top_mid = (np.abs(xy[:, 0] - 0.5) < 0.06) & (np.abs(xy[:, 1] - 0.75) < 0.06)
+    assert u[top_mid].mean() > 0
+    # temperature bounded by wall values (maximum principle)
+    assert T.max() <= 0.5 + 1e-6 and T.min() >= -0.5 - 1e-6

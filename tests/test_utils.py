@@ -79,3 +79,25 @@ def test_parsed_function():
         ParsedFunction("__import__('os')")
     with pytest.raises(ValueError):
         ParsedFunction("system(x)")
+
+
+def test_phase_timer_and_convergence_table():
+    import time as _t
+    from femus_tpu.utils.telemetry import PhaseTimer, convergence_table
+    pt = PhaseTimer()
+    with pt.phase("assembly"):
+        _t.sleep(0.01)
+    with pt.phase("solve"):
+        _t.sleep(0.02)
+    with pt.phase("solve"):
+        pass
+    d = pt.as_dict()
+    assert d["solve"] >= d["assembly"] > 0
+    rep = pt.report()
+    assert "assembly" in rep and "solve" in rep
+    hist = [{"level": 0, "newton_it": 0, "lin_iters": 5, "lin_res": 1e-3,
+             "eps": {"u": 1e-2}},
+            {"level": 0, "newton_it": 1, "lin_iters": 4, "lin_res": 1e-8,
+             "eps": {"u": 1e-7}}]
+    tab = convergence_table(hist)
+    assert "1.000e-08" in tab and tab.count("\n") == 2
