@@ -39,6 +39,7 @@ class MGHierarchy:
     n_pre: int = 2
     n_post: int = 2
     coarse_dense: Optional[jnp.ndarray] = None   # LU-factorable dense coarse A
+    compute_dtype: Optional[jnp.dtype] = None    # mixed-precision cycle dtype
 
     def setup_coarse(self):
         self.coarse_dense = self.levels[0].A.to_dense()
@@ -86,8 +87,17 @@ class MGHierarchy:
         return x
 
     def as_preconditioner(self, cycle: str = "V") -> Callable:
+        """One cycle as M^{-1}.  If the hierarchy was built with a lower
+        compute_dtype (mixed precision), the input residual is cast down,
+        the cycle runs in low precision on the MXU/VPU-friendly dtype, and
+        the correction is cast back — the outer Krylov stays in the ambient
+        precision, so final accuracy is unaffected (the cycle is only a
+        preconditioner); only the convergence RATE can change."""
         fn = self.v_cycle if cycle.upper() == "V" else self.w_cycle
-        return lambda r: fn(r)
+        dt = self.compute_dtype
+        if dt is None:
+            return lambda r: fn(r)
+        return lambda r: fn(r.astype(dt)).astype(r.dtype)
 
 
 def apply_dirichlet_identity(op: SparseOp, valid, mask) -> SparseOp:
@@ -108,7 +118,8 @@ def build_hierarchy(fine_op: SparseOp,
                     cheb_degree: int = 3,
                     dir_masks: Optional[Sequence] = None,
                     vanka_blocks: Optional[Sequence] = None,
-                    vanka_omega: float = 0.9) -> MGHierarchy:
+                    vanka_omega: float = 0.9,
+                    compute_dtype=None) -> MGHierarchy:
     """Construct the hierarchy from the finest assembled op via PtAP chain.
 
     transfers[i] connects level i (coarse) to level i+1 (fine); the finest
@@ -129,6 +140,17 @@ def build_hierarchy(fine_op: SparseOp,
                 op_c, jnp.asarray(sched.coarse_pattern.valid),
                 jnp.asarray(dir_masks[l]))
         ops[l] = op_c
+    P_ops = [t[0] for t in transfers]
+    R_ops = [t[1] for t in transfers]
+    if compute_dtype is not None:
+        # mixed precision: PtAP coarsening above ran in ambient precision;
+        # the cycle's operators, transfers, and smoothers run low-precision
+        ops = [SparseOp(A.data.astype(compute_dtype), A.cols, A.n_cols)
+               for A in ops]
+        P_ops = [SparseOp(P.data.astype(compute_dtype), P.cols, P.n_cols)
+                 for P in P_ops]
+        R_ops = [SparseOp(R.data.astype(compute_dtype), R.cols, R.n_cols)
+                 for R in R_ops]
     levels = []
     for l in range(n_levels):
         A = ops[l]
@@ -146,8 +168,12 @@ def build_hierarchy(fine_op: SparseOp,
             sm = chebyshev_smoother(A.matvec, safe, lam, degree=cheb_degree)
         P = R = None
         if l > 0:
-            P, R = transfers[l - 1][0], transfers[l - 1][1]
+            P, R = P_ops[l - 1], R_ops[l - 1]
         levels.append(MGLevel(A, P, R, sm))
-    h = MGHierarchy(levels, n_pre, n_post)
+    h = MGHierarchy(levels, n_pre, n_post, compute_dtype=compute_dtype)
     h.setup_coarse()
+    if compute_dtype is not None and h.coarse_dense is not None:
+        # bf16 dense solves are unsupported/inaccurate; fp32 minimum
+        cd = (jnp.float32 if compute_dtype == jnp.bfloat16 else compute_dtype)
+        h.coarse_dense = h.coarse_dense.astype(cd)
     return h

@@ -114,3 +114,53 @@ def test_mg_preconditioned_cg_poisson(smoother):
     _, ij = cg(lambda v: A @ v, br, M=lambda r: r / d, tol=1e-10, maxiter=4000)
     assert int(im.iters) <= 25, int(im.iters)
     assert int(im.iters) * 3 < int(ij.iters), (int(im.iters), int(ij.iters))
+
+
+@pytest.mark.parametrize("low", ["float32", "bfloat16"])
+def test_mixed_precision_vcycle(low):
+    """Mixed precision (the TPU-first pattern): the V-cycle runs in fp32 or
+    bf16 while the outer CG stays fp64 — final accuracy is unchanged and the
+    iteration count stays multigrid-like."""
+    n_levels = 3
+    ml = MultiLevelMesh(unit_box((4, 4), "quad"), n_levels)
+    fam = "biquadratic"
+    asms, masks = [], []
+    for mesh in ml.levels:
+        a = Assembler(mesh, [Unknown("u", fam)], quad_order="fifth")
+        a.set_volume_form(poisson("u", fam, rhs=rhs))
+        generate_bdc(a, lambda var, x, grp, t: (True, 0.0))
+        asms.append(a)
+        masks.append(a.dirichlet_mask)
+    fine = asms[-1]
+    u0 = jnp.asarray(apply_dirichlet_values(fine, np.zeros(fine.n_dofs)))
+    Rv, data = jax.jit(fine.make_assemble_fn())(u0)
+    A = fine.op_with(data)
+    transfers = [None] * (n_levels - 1)
+    pat_above = fine.pattern
+    for l in range(n_levels - 2, -1, -1):
+        P = block_diag_prolongation(ml.levels[l], ml.levels[l + 1],
+                                    fine.unknowns).tolil()
+        P[masks[l + 1], :] = 0.0
+        P[:, masks[l]] = 0.0
+        P = P.tocsr()
+        P.eliminate_zeros()
+        Pop, Rop = op_pair_from_scipy(P)
+        sched = build_ptap_schedule(pat_above, P)
+        transfers[l] = (Pop, Rop, sched)
+        pat_above = sched.coarse_pattern
+    dmasks = [jnp.asarray(m) for m in masks[:-1]]
+
+    h64 = build_hierarchy(A, transfers, smoother="chebyshev",
+                          dir_masks=dmasks)
+    hlo = build_hierarchy(A, transfers, smoother="chebyshev",
+                          dir_masks=dmasks,
+                          compute_dtype=jnp.dtype(low))
+    x64, i64 = cg(lambda v: A @ v, -Rv, M=h64.as_preconditioner("V"),
+                  tol=1e-11, maxiter=200)
+    xlo, ilo = cg(lambda v: A @ v, -Rv, M=hlo.as_preconditioner("V"),
+                  tol=1e-11, maxiter=200)
+    # identical final accuracy (outer Krylov precision governs)
+    assert np.allclose(np.asarray(xlo), np.asarray(x64), atol=1e-9)
+    # multigrid-like iteration counts: low precision costs at most ~2x
+    budget = 2 * int(i64.iters) + (6 if low == "bfloat16" else 2)
+    assert int(ilo.iters) <= budget, (int(ilo.iters), int(i64.iters))
