@@ -1,0 +1,28 @@
+"""Smoke-run the examples (tutorial-app parity, reference 000_tutorial
+and friends) at reduced sizes."""
+import importlib
+import os
+import sys
+
+import pytest
+
+EX_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
+sys.path.insert(0, os.path.abspath(EX_DIR))
+
+
+@pytest.mark.parametrize("mod,env", [
+    ("ex01_function_approximation", {"EX_N": "4"}),
+    ("ex03_navier_stokes_cavity", {"EX_N": "6"}),
+    ("ex05_markers_magnetic", {}),
+    ("ex06_mpm_fsi_block", {"EX_N": "4"}),
+    ("ex07_uq_pce", {}),
+])
+def test_example_runs(mod, env, monkeypatch, capsys, tmp_path):
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    monkeypatch.setenv("EX_OUT", str(tmp_path / "out.vtu"))
+    m = importlib.import_module(mod)
+    m.main()
+    out = capsys.readouterr().out
+    assert out.strip(), mod
+    assert "nan" not in out.lower().replace("nan)", "")
