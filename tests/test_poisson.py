@@ -152,3 +152,34 @@ def test_gmres_matches_cg():
     xg, infog = gmres(lambda v: A @ v, -R, M=lambda r: r / d, tol=1e-12,
                       restart=40, max_restarts=20)
     assert np.allclose(np.asarray(u0 + xg), np.asarray(u), atol=1e-8)
+
+
+def test_gather_assembly_matches_scatter():
+    """The gather-transposed assembly (TPU hot path) is bitwise-comparable
+    to the scatter path up to summation order."""
+    import jax
+    import jax.numpy as jnp
+    from femus_tpu.assembly.bc import generate_bdc
+    from femus_tpu.assembly.engine import Assembler, Unknown
+    from femus_tpu.assembly.forms import navier_stokes
+    from femus_tpu.mesh.generation import unit_box
+
+    mesh = unit_box((4, 4), "quad")
+    asm = Assembler(mesh, [Unknown("u", "biquadratic"),
+                           Unknown("v", "biquadratic"),
+                           Unknown("p", "linear")], quad_order="fifth",
+                    pad_dofs_to=4, pad_elems_to=4)
+    asm.set_volume_form(navier_stokes(("u", "v"), "p", nu=0.1))
+    generate_bdc(asm, lambda var, x, grp, t: ((var != "p"), 0.0))
+    assemble = jax.jit(asm.make_assemble_fn(pass_tables=True))
+    t_scatter = asm.device_tables()
+    t_gather = dict(t_scatter)
+    t_gather["gather"] = asm.gather_plan()
+    rng = np.random.default_rng(0)
+    u0 = jnp.asarray(rng.normal(0, 0.2, asm.n_dofs_pad))
+    R1, d1 = assemble(u0, t_scatter)
+    R2, d2 = assemble(u0, t_gather)
+    np.testing.assert_allclose(np.asarray(R1), np.asarray(R2),
+                               rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-13, atol=1e-13)
