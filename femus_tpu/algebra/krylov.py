@@ -56,64 +56,116 @@ def cg(A: Callable, b: jnp.ndarray, x0=None, M: Optional[Callable] = None,
     return x, SolveInfo(k, jnp.linalg.norm(r))
 
 
-def gmres(A: Callable, b: jnp.ndarray, x0=None, M: Optional[Callable] = None,
-          tol: float = 1e-10, atol: float = 0.0, restart: int = 30,
-          max_restarts: int = 20):
-    """Restarted GMRES(m) with CGS2 orthogonalization and left preconditioning.
+def _givens(a, b):
+    """Stable Givens rotation (c, s) with c*a + s*b = r, -s*a + c*b = 0."""
+    h = jnp.hypot(a, b)
+    hs = jnp.where(h == 0, 1.0, h)
+    return jnp.where(h == 0, 1.0, a / hs), jnp.where(h == 0, 0.0, b / hs)
 
-    Solves M A x = M b.  Static shapes: the Krylov basis is (m+1, n); each
-    cycle runs exactly m inner steps (lanes past convergence are masked), and
-    the outer restart loop exits early via while_loop.
+
+def _gmres_core(opM, opA, b, x0, M, tol, atol, restart, max_restarts,
+                flexible: bool):
+    """Shared GMRES driver: Givens-rotated Hessenberg with per-iteration
+    residual tracking and ``lax.while_loop`` early exit at BOTH loop levels —
+    unlike a fixed ``scan``, a cycle that converges at iteration j stops
+    paying for preconditioner/operator applications past j.  CGS2
+    orthogonalization keeps global reductions at 2 per iteration
+    (SURVEY.md §7 hard part 2).
+
+    flexible=False: left-preconditioned (solves M A x = M b).
+    flexible=True: right-preconditioned FGMRES storing the Z basis.
     """
     n = b.shape[0]
     dtype = b.dtype
-    x0 = jnp.zeros_like(b) if x0 is None else x0
-    M = M or (lambda r: r)
     m = restart
-    Mb = M(b)
-    bnorm = jnp.linalg.norm(Mb)
-    target = jnp.maximum(tol * bnorm, atol)
 
-    def cycle(x):
-        r = M(b - A(x))
+    def resid(x):
+        return opM(b - opA(x))
+
+    r0 = resid(x0)
+    target = jnp.maximum(tol * jnp.linalg.norm(opM(b)), atol)
+
+    def cycle(x, total):
+        r = resid(x)
         beta = jnp.linalg.norm(r)
-        V = jnp.zeros((m + 1, n), dtype).at[0].set(r / jnp.where(beta == 0, 1.0, beta))
-        H = jnp.zeros((m + 1, m), dtype)
+        V = jnp.zeros((m + 1, n), dtype).at[0].set(
+            r / jnp.where(beta == 0, 1.0, beta))
+        Z = jnp.zeros((m, n), dtype) if flexible else None
+        H = jnp.zeros((m + 1, m), dtype)       # Givens-rotated in place
+        cs = jnp.zeros(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
 
-        def arnoldi(carry, j):
-            V, H = carry
-            w = M(A(V[j]))
-            # CGS2: two passes of classical Gram-Schmidt
-            h1 = V @ w                       # (m+1,) includes zeros rows
+        def inner_cond(st):
+            V, Z, H, cs, sn, g, j = st
+            return (j < m) & (jnp.abs(g[j]) > target)
+
+        def inner_body(st):
+            V, Z, H, cs, sn, g, j = st
+            if flexible:
+                z = M(V[j])
+                w = opA(z)
+                Z2 = Z.at[j].set(z)
+            else:
+                w = opM(opA(V[j]))
+                Z2 = Z
+            # CGS2: rows of V past j are zero, so they contribute nothing
+            h1 = V @ w
             w = w - V.T @ h1
             h2 = V @ w
             w = w - V.T @ h2
             h = h1 + h2
             wnorm = jnp.linalg.norm(w)
-            H = H.at[:, j].set(h)
-            H = H.at[j + 1, j].set(wnorm)
-            V = V.at[j + 1].set(w / jnp.where(wnorm == 0, 1.0, wnorm))
-            return (V, H), None
+            V2 = V.at[j + 1].set(w / jnp.where(wnorm == 0, 1.0, wnorm))
+            # apply previous rotations to the new column
+            def rot(i, col):
+                hi = cs[i] * col[i] + sn[i] * col[i + 1]
+                hip = -sn[i] * col[i] + cs[i] * col[i + 1]
+                return col.at[i].set(hi).at[i + 1].set(hip)
+            col = h.at[j + 1].set(wnorm)
+            col = jax.lax.fori_loop(0, j, rot, col)
+            c, s = _givens(col[j], col[j + 1])
+            col = col.at[j].set(c * col[j] + s * col[j + 1]).at[j + 1].set(0.0)
+            g2 = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
+            H2 = H.at[:, j].set(col)
+            return (V2, Z2, H2, cs.at[j].set(c), sn.at[j].set(s), g2, j + 1)
 
-        (V, H), _ = jax.lax.scan(arnoldi, (V, H), jnp.arange(m))
-        # least squares: min || beta e1 - H y ||
-        e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
-        y, *_ = jnp.linalg.lstsq(H, e1)
-        x = x + V[:m].T @ y
-        return x
+        V, Z, H, cs, sn, g, j = jax.lax.while_loop(
+            inner_cond, inner_body,
+            (V, Z, H, cs, sn, g, jnp.array(0)))
+        # back-substitute on the j leading columns (unused columns get unit
+        # diagonal and zero rhs so they contribute y=0)
+        lanes = jnp.arange(m)
+        R = H[:m, :] + jnp.where(lanes >= j, 1.0, 0.0) * jnp.eye(m, dtype=dtype)
+        rhs = jnp.where(lanes < j, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(R, rhs, lower=False)
+        basis = Z if flexible else V[:m]
+        return x + basis.T @ y, total + j, jnp.abs(g[j])
 
-    def cond(state):
-        x, k = state
-        r = M(b - A(x))
-        return (jnp.linalg.norm(r) > target) & (k < max_restarts)
+    def outer_cond(st):
+        x, k, total, res = st
+        return (res > target) & (k < max_restarts)
 
-    def body(state):
-        x, k = state
-        return cycle(x), k + 1
+    def outer_body(st):
+        x, k, total, res = st
+        x, total, res = cycle(x, total)
+        return x, k + 1, total, res
 
-    x, k = jax.lax.while_loop(cond, body, (x0, jnp.array(0)))
-    r = M(b - A(x))
-    return x, SolveInfo(k * m, jnp.linalg.norm(r))
+    x, k, total, res = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (x0, jnp.array(0), jnp.array(0), jnp.linalg.norm(r0)))
+    return x, SolveInfo(total, jnp.linalg.norm(resid(x)))
+
+
+def gmres(A: Callable, b: jnp.ndarray, x0=None, M: Optional[Callable] = None,
+          tol: float = 1e-10, atol: float = 0.0, restart: int = 30,
+          max_restarts: int = 20):
+    """Restarted GMRES(m), left-preconditioned (solves M A x = M b), CGS2
+    orthogonalization, Givens-rotation residual tracking with early exit."""
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    M = M or (lambda r: r)
+    return _gmres_core(M, A, b, x0, M, tol, atol, restart, max_restarts,
+                       flexible=False)
 
 
 def fgmres(A: Callable, b: jnp.ndarray, x0=None, M: Optional[Callable] = None,
@@ -122,54 +174,10 @@ def fgmres(A: Callable, b: jnp.ndarray, x0=None, M: Optional[Callable] = None,
     """Flexible GMRES (right preconditioning, Saad 1993): tolerates
     nonlinear/varying preconditioners (inner Krylov solves, Schur field-split
     with inner CG) by storing the preconditioned basis Z."""
-    n = b.shape[0]
-    dtype = b.dtype
     x0 = jnp.zeros_like(b) if x0 is None else x0
     M = M or (lambda r: r)
-    m = restart
-    bnorm = jnp.linalg.norm(b)
-    target = jnp.maximum(tol * bnorm, atol)
-
-    def cycle(x):
-        r = b - A(x)
-        beta = jnp.linalg.norm(r)
-        V = jnp.zeros((m + 1, n), dtype).at[0].set(r / jnp.where(beta == 0, 1.0, beta))
-        Z = jnp.zeros((m, n), dtype)
-        H = jnp.zeros((m + 1, m), dtype)
-
-        def arnoldi(carry, j):
-            V, Z, H = carry
-            z = M(V[j])
-            w = A(z)
-            h1 = V @ w
-            w = w - V.T @ h1
-            h2 = V @ w
-            w = w - V.T @ h2
-            h = h1 + h2
-            wnorm = jnp.linalg.norm(w)
-            H = H.at[:, j].set(h)
-            H = H.at[j + 1, j].set(wnorm)
-            V = V.at[j + 1].set(w / jnp.where(wnorm == 0, 1.0, wnorm))
-            Z = Z.at[j].set(z)
-            return (V, Z, H), None
-
-        (V, Z, H), _ = jax.lax.scan(arnoldi, (V, Z, H), jnp.arange(m))
-        e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
-        y, *_ = jnp.linalg.lstsq(H, e1)
-        return x + Z.T @ y
-
-    def cond(state):
-        x, k = state
-        r = b - A(x)
-        return (jnp.linalg.norm(r) > target) & (k < max_restarts)
-
-    def body(state):
-        x, k = state
-        return cycle(x), k + 1
-
-    x, k = jax.lax.while_loop(cond, body, (x0, jnp.array(0)))
-    r = b - A(x)
-    return x, SolveInfo(k * m, jnp.linalg.norm(r))
+    return _gmres_core(lambda r: r, A, b, x0, M, tol, atol, restart,
+                       max_restarts, flexible=True)
 
 
 def richardson(A: Callable, b: jnp.ndarray, x0=None, M: Optional[Callable] = None,

@@ -49,6 +49,10 @@ class SolverConfig:
     vanka_omega: float = 0.9
     mg_type: str = "V"              # "V" | "F" (F = coarse-to-fine ratchet)
     use_mg: bool = True
+    # coarsest-level direct solve (reference PCMGGetCoarseSolve -> LU,
+    # LinearEquationSolverPetsc.cpp:236-239); dofs below this threshold are
+    # solved densely on-device instead of by preconditioned Krylov
+    coarse_direct_max_dofs: int = 20000
     # nonlinear
     max_nonlinear: int = 15
     nonlinear_tol: float = 1e-8
@@ -232,9 +236,21 @@ class System:
             else:
                 vblocks = [build_element_blocks(a, cfg.vanka_block_elems)]
 
+        # the coarsest level of an MG drive gets a direct dense solve, like
+        # the reference's PCMG coarse LU — a Vanka/Jacobi-preconditioned
+        # Krylov on the coarsest saddle point can stagnate and poison the
+        # F-cycle ratchet
+        coarse_direct = (not transfers and cfg.use_mg
+                         and a.n_dofs_pad <= cfg.coarse_direct_max_dofs
+                         and n_levels > 1)
+
         def step(u, tables, aux_fields, aux_scalars):
             R, data = assemble(u, tables, aux_fields, aux_scalars)
             A = a.op_with(data)
+            if coarse_direct:
+                delta = jnp.linalg.solve(A.to_dense(), -R)
+                res = jnp.linalg.norm(R + A @ delta)
+                return u + delta, delta, res, jnp.array(1)
             if transfers:
                 h = build_hierarchy(A, transfers, smoother=cfg.smoother,
                                     n_pre=cfg.n_pre, n_post=cfg.n_post,
