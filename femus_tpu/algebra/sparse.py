@@ -9,8 +9,11 @@ sparsity pattern at setup on host (FEM patterns are static — SURVEY.md §7
   entries point at the row's own diagonal with value 0, so SpMV needs no
   masking and the gather is always in-bounds.
 - SpMV = ``(data * x[cols]).sum(-1)`` — a gather + elementwise product +
-  small-axis reduction that XLA maps onto the VPU at HBM-roofline speed; a
-  Pallas double-buffered variant lives in spmv_pallas.py.
+  small-axis reduction that XLA maps onto the VPU at HBM-roofline speed.
+  Pallas fast paths exist for the structured layouts where they beat the
+  XLA gather: diagonal-banded operators (dia.py) and lattice stencils
+  (stencil.py); the general unstructured ELL path stays on the XLA gather,
+  whose random-access pattern a hand kernel cannot improve on TPU.
 - Assembly scatters batched element matrices into ``data`` through a
   precomputed slot map (see assembly/engine.py) — the analogue of
   ``add_matrix_blocked`` + ``close()`` (SparseMatrix.hpp:165) without any

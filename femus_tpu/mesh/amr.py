@@ -50,35 +50,24 @@ def close_flags(mesh: Mesh, flags: np.ndarray) -> np.ndarray:
     match key-for-key — are seen; this is conservative (vertex-adjacent
     irregularity also forces refinement). Iterates to a fixed point."""
     lev = _elem_level(mesh)
-    # element pairs sharing >= 1 biquadratic node
-    nodes = mesh.conn.ravel()
-    elems = np.repeat(np.arange(mesh.n_elems), mesh.conn.shape[1])
-    order = np.argsort(nodes, kind="stable")
-    nodes, elems = nodes[order], elems[order]
-    starts = np.searchsorted(nodes, np.unique(nodes))
-    pair_set = set()
-    bounds = list(starts) + [len(nodes)]
-    for s, t in zip(bounds[:-1], bounds[1:]):
-        grp = np.unique(elems[s:t])
-        for i in range(len(grp)):
-            for j in range(i + 1, len(grp)):
-                pair_set.add((int(grp[i]), int(grp[j])))
-    pairs = np.array(sorted(pair_set), np.int64).reshape(-1, 2)
-
+    # Node-sharing adjacency without materializing element pairs (the pair
+    # set is O(n_elems * valence^2)): per node, the max post-refinement
+    # level of incident elements; per element, the max over its nodes.
+    # An element's own tgt never exceeds tgt+1, so including self in the
+    # node max is harmless.
+    n_nodes = int(mesh.conn.max()) + 1
+    flat = mesh.conn.ravel()
     flags = flags.astype(bool).copy()
-    changed = True
-    while changed and len(pairs):
-        changed = False
+    while True:
         tgt = lev + flags                      # level after refinement
-        a, b = pairs[:, 0], pairs[:, 1]
-        add = np.zeros_like(flags)
-        add[b[(tgt[a] - tgt[b]) > 1]] = True
-        add[a[(tgt[b] - tgt[a]) > 1]] = True
-        add &= ~flags
-        if np.any(add):
-            flags |= add
-            changed = True
-    return flags
+        node_max = np.full(n_nodes, -(2 ** 30), np.int64)
+        np.maximum.at(node_max, flat,
+                      np.repeat(tgt, mesh.conn.shape[1]))
+        nbr_max = node_max[mesh.conn].max(axis=1)
+        add = ((nbr_max - tgt) > 1) & ~flags
+        if not np.any(add):
+            return flags
+        flags |= add
 
 
 def flag_by_error(error: np.ndarray, threshold: float,

@@ -6,6 +6,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 EX_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
 sys.path.insert(0, os.path.abspath(EX_DIR))
 

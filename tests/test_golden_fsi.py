@@ -10,6 +10,8 @@ main.cpp:nwtn_alg=false) and refactors only when contraction stalls.
 """
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 

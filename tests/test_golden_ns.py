@@ -10,6 +10,8 @@ Q2/P1dc spaces, quadrature, weak form, BC insertion) to the reference.
 """
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
