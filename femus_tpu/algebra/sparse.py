@@ -30,9 +30,12 @@ import numpy as np
 import scipy.sparse as sp
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class EllPattern:
-    """Host-side immutable sparsity pattern with CSR<->ELL correspondence."""
+    """Host-side immutable sparsity pattern with CSR<->ELL correspondence.
+
+    eq=False: identity hash/equality so a pattern can serve as static pytree
+    aux data (e.g. PtAPSchedule.coarse_pattern) in jitted signatures."""
 
     n_rows: int
     n_cols: int

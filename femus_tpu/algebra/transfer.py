@@ -53,14 +53,26 @@ def block_diag_prolongation(coarse_mesh, fine_mesh, unknowns) -> sp.csr_matrix:
     return sp.block_diag(mats, format="csr")
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PtAPSchedule:
-    """Device-side Galerkin product: coarse_data = segsum(coeff * fine_data[src])."""
+    """Device-side Galerkin product: coarse_data = segsum(coeff * fine_data[src]).
+
+    Registered as a pytree so schedules pass through ``jit`` as ARGUMENTS
+    (src/dst reach tens of millions of entries on fine levels; baked-in
+    constants of that size stall XLA constant folding for minutes)."""
 
     coarse_pattern: EllPattern
     src: jnp.ndarray       # (n_triplets,) flat index into fine ELL data
     dst: jnp.ndarray       # (n_triplets,) flat index into coarse ELL data (sorted)
     coeff: jnp.ndarray     # (n_triplets,)
+
+    def tree_flatten(self):
+        return (self.src, self.dst, self.coeff), (self.coarse_pattern,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], *children)
 
     def apply(self, fine_data: jnp.ndarray) -> jnp.ndarray:
         """fine ELL data (nr, w) -> coarse ELL data (nrc, wc)."""
@@ -136,9 +148,16 @@ def build_ptap_schedule(fine_pattern: EllPattern, P: sp.csr_matrix,
     keep = np.abs(coeff) > 0
     src, dst, coeff = src[keep], dst[keep], coeff[keep]
     order = np.argsort(dst, kind="stable")
+    # int32 indices when ranges allow: halves transfer size and avoids
+    # compile-time s64->s32 converts of multi-M-entry arrays
+    src, dst = src[order], dst[order]
+    if src.size == 0 or src.max() < 2 ** 31:
+        src = src.astype(np.int32)
+    if dst.size == 0 or dst.max() < 2 ** 31:
+        dst = dst.astype(np.int32)
     return PtAPSchedule(cpat,
-                        jnp.asarray(src[order]),
-                        jnp.asarray(dst[order]),
+                        jnp.asarray(src),
+                        jnp.asarray(dst),
                         jnp.asarray(coeff[order].astype(dtype)))
 
 

@@ -24,19 +24,36 @@ from ..assembly.engine import Assembler, _build_slot_lut
 from .sparse import EllPattern, SparseOp
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class VankaBlocks:
-    """Host-precomputed block structure."""
+    """Block structure, pre-split by color at build time and registered as a
+    pytree so the (multi-M-entry) dof/slot index arrays pass through ``jit``
+    as ARGUMENTS rather than baked constants (compile-time constant folding
+    over them is minutes-slow on fine levels).
 
-    dofs: np.ndarray        # (nb, bs) int32, padded with n (dummy)
-    slots: np.ndarray       # (nb, bs, bs) int64 flat ELL index (or oob -> 0)
-    scale: np.ndarray       # (n,) 1/overlap count
+    color_dofs[c]: (nb_c, bs) block dof ids, padded with n (dummy);
+    color_slots[c]: (nb_c, bs, bs) flat ELL index (oob -> miss sentinel);
+    blocks of one color touch disjoint dofs (greedy coloring)."""
+
+    color_dofs: Tuple        # per color (nb_c, bs)
+    color_slots: Tuple       # per color (nb_c, bs, bs)
+    scale: np.ndarray        # (n,) 1/overlap count (additive sweep)
     n: int
-    colors: Optional[np.ndarray] = None   # (nb,) block color (greedy, disjoint
-    #                                       dofs within a color)
+
+    def tree_flatten(self):
+        return (self.color_dofs, self.color_slots, self.scale), (self.n,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux[0])
 
     def pad_dof(self) -> int:
         return self.n
+
+    @property
+    def n_colors(self) -> int:
+        return len(self.color_dofs)
 
 
 def _color_blocks(blocks: Sequence[np.ndarray], n: int) -> np.ndarray:
@@ -92,7 +109,14 @@ def build_element_blocks(assembler: Assembler, elems_per_block: int = 4,
     bj = np.tile(dofs, (1, bs)).reshape(nb, bs, bs)
     slots = lut(bi.ravel(), bj.ravel()).reshape(nb, bs, bs)
     colors = _color_blocks(blocks, n)
-    return VankaBlocks(dofs.astype(np.int64), slots, scale, n, colors)
+    idt = np.int32 if n < 2 ** 31 else np.int64
+    st = np.int32 if pat.n_rows * pat.width < 2 ** 31 else np.int64
+    cd, cs = [], []
+    for c in range(int(colors.max()) + 1):
+        sel = colors == c
+        cd.append(jnp.asarray(dofs[sel].astype(idt)))
+        cs.append(jnp.asarray(slots[sel].astype(st)))
+    return VankaBlocks(tuple(cd), tuple(cs), scale, n)
 
 
 def lut_with_miss(pattern: EllPattern):
@@ -137,13 +161,9 @@ def vanka_smoother(A: SparseOp, blocks: VankaBlocks, omega: float = 1.0,
     """
     n = blocks.n
 
-    if multiplicative and blocks.colors is not None:
-        ncol = int(blocks.colors.max()) + 1
+    if multiplicative:
         per_color = []
-        for c in range(ncol):
-            sel = blocks.colors == c
-            d = jnp.asarray(blocks.dofs[sel])
-            s = jnp.asarray(blocks.slots[sel])
+        for d, s in zip(blocks.color_dofs, blocks.color_slots):
             (lu, piv), rows_valid = _factor_blocks(A, d, s, n)
             per_color.append((d, lu, piv, rows_valid))
 
@@ -164,8 +184,8 @@ def vanka_smoother(A: SparseOp, blocks: VankaBlocks, omega: float = 1.0,
 
         return smooth
 
-    dofs = jnp.asarray(blocks.dofs)
-    slots = jnp.asarray(blocks.slots)
+    dofs = jnp.concatenate(blocks.color_dofs)
+    slots = jnp.concatenate(blocks.color_slots)
     scale = jnp.asarray(blocks.scale)
     (lu, piv), rows_valid = _factor_blocks(A, dofs, slots, n)
 

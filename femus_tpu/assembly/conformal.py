@@ -78,4 +78,7 @@ def conformal_minimization(disp=("Dx1", "Dx2", "Dx3"),
         g = jax.grad(energy)([u[n] for n in names])
         return dict(zip(names, g))
 
+    # grad-of-energy over per-element axis conventions: keep the vmapped
+    # per-element assembly path (see Assembler.set_volume_form)
+    form.layout = "batch_first"
     return form

@@ -117,6 +117,13 @@ class ElemOps:
         """grad u at quadrature points: (nq, dim)."""
         return jnp.einsum("qnx,n->qx", self._dphi[fam], u)
 
+    def pointwise(self, fn: Callable) -> jnp.ndarray:
+        """Evaluate a user source/forcing callback written against a flat
+        (N, sdim) array of physical points (the layout-agnostic contract —
+        the same callback works under both assembly layouts).  Returns
+        (nq, ...) here; (nq, ..., ne) in :class:`ElemOpsBatched`."""
+        return fn(self.x)
+
     # ---- test-function integrals --------------------------------------
     def t(self, fam: str, s: jnp.ndarray) -> jnp.ndarray:
         """integral s * phi_i   (s: (nq,)) -> (nd,)."""
@@ -222,6 +229,16 @@ class ElemOpsBatched:
     def grad(self, fam: str, u: jnp.ndarray) -> jnp.ndarray:
         """u: (nd, ne) -> (nq, dim, ne)."""
         return jnp.einsum("qnxe,ne->qxe", self._dphi[fam], u)
+
+    def pointwise(self, fn: Callable) -> jnp.ndarray:
+        """Flatten (nq, sdim, ne) quad points to (nq*ne, sdim), call the
+        user callback (written once against flat points — works under both
+        layouts), and restore the element axis LAST: (nq, ..., ne)."""
+        nq, sdim, ne = self.x.shape
+        flat = jnp.transpose(self.x, (0, 2, 1)).reshape(nq * ne, sdim)
+        out = fn(flat)
+        out = out.reshape((nq, ne) + out.shape[1:])
+        return jnp.moveaxis(out, 1, -1)
 
     def t(self, fam: str, s: jnp.ndarray) -> jnp.ndarray:
         """s: (nq, ne) -> (nd, ne)."""
@@ -427,7 +444,12 @@ class Assembler:
         self._tables_cache = None
 
     def set_volume_form(self, fn: Callable) -> None:
-        """fn(ops: ElemOps, u: dict, aux: dict) -> dict name -> (nd,)."""
+        """fn(ops: ElemOps, u: dict, aux: dict) -> dict name -> (nd,).
+
+        A form that is written against per-element semantics only (direct
+        ``ops.coords``/axis manipulation that does not broadcast over the
+        trailing element axis) can set ``fn.layout = "batch_first"`` to opt
+        out of the batched element-last fast path."""
         self.volume_form = fn
 
     def set_face_form(self, fn: Callable, volume: bool = False) -> None:
@@ -686,7 +708,7 @@ class Assembler:
 
     def make_assemble_fn(self, with_jacobian: bool = True,
                          pass_tables: bool = False,
-                         layout: str = "batch_first"):
+                         layout: str = "element_last"):
         """Return a jittable assembly function.
 
         pass_tables=False: (u, aux_fields, aux_scalars) -> (R, data) with all
@@ -694,18 +716,22 @@ class Assembler:
         pass_tables=True: (u, tables, aux_fields, aux_scalars) -> (R, data)
         with tables supplied per call — the TPU-friendly form.
 
-        layout="element_last": the TPU fast path — the volume form runs ONCE
-        over all elements through :class:`ElemOpsBatched` (element axis on
-        the lane dimension; interpolation/integration become MXU matmuls),
-        and the Jacobian comes from ``jax.linearize`` + ndt basis tangents
-        (exact, because element residuals are local).  Measured 60x+ faster
-        per assembly than batch_first on TPU.  Forms must be written against
-        the ops API (all the in-tree forms are); face/particle contributions
-        still use the per-element path.
+        layout="element_last" (the default, and the hot path everywhere —
+        systems layer, sharded step, driver entry): the volume form runs
+        ONCE over all elements through :class:`ElemOpsBatched` (element axis
+        on the lane dimension; interpolation/integration become MXU
+        matmuls), and the Jacobian comes from ``jax.linearize`` + ndt basis
+        tangents (exact, because element residuals are local).  Measured
+        60x+ faster per assembly than batch_first on TPU.  Forms must be
+        written against the ops API (all the in-tree forms are);
+        face/particle contributions still use the per-element path.
+        layout="batch_first" (vmap of per-element residual + jacfwd) is the
+        fallback for forms that index the element axis directly.
         """
         nrows, w = self.pattern.n_rows, self.pattern.width
         row_ids = jnp.arange(nrows)[:, None]
         const_tables = None if pass_tables else self.device_tables()
+        layout = getattr(self.volume_form, "layout", layout)
 
         def assemble_t(u, tables, aux_fields=None, aux_scalars=None):
             aux_fields = aux_fields or {}

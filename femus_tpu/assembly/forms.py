@@ -16,6 +16,8 @@ from typing import Callable, Dict, Optional, Sequence
 
 import jax.numpy as jnp
 
+from . import tensors
+
 
 def poisson(var: str = "u", family: str = "biquadratic",
             rhs: Optional[Callable] = None, kappa: float = 1.0):
@@ -25,7 +27,7 @@ def poisson(var: str = "u", family: str = "biquadratic",
         g = ops.grad(family, u[var])
         r = kappa * ops.tgrad(family, g)
         if rhs is not None:
-            f = rhs(ops.x)
+            f = ops.pointwise(rhs)
             r = r - ops.t(family, f)
         return {var: r}
 
@@ -51,7 +53,7 @@ def nonlinear_diffusion(var: str = "u", family: str = "biquadratic",
         g = ops.grad(family, u[var])
         r = ops.tgrad(family, a(uq)[:, None] * g)
         if rhs is not None:
-            r = r - ops.t(family, rhs(ops.x))
+            r = r - ops.t(family, ops.pointwise(rhs))
         return {var: r}
 
     return form
@@ -71,7 +73,7 @@ def biharmonic_coupled(u_var: str = "u", v_var: str = "v",
         ru = ops.tgrad(family, gu) - ops.t(family, vq)
         rv = ops.tgrad(family, gv)
         if rhs is not None:
-            rv = rv - ops.t(family, rhs(ops.x))
+            rv = rv - ops.t(family, ops.pointwise(rhs))
         return {u_var: ru, v_var: rv}
 
     return form
@@ -95,7 +97,7 @@ def navier_stokes(vel=("u", "v"), pres: str = "p",
         G = [ops.grad(vel_family, u[c]) for c in vel]           # (nq, dim)
         pq = ops.value(pres_family, u[pres])
         out = {}
-        fq = force(ops.x) if force is not None else None
+        fq = ops.pointwise(force) if force is not None else None
         for d, c in enumerate(vel):
             r = nuv * ops.tgrad(vel_family, G[d])
             if not stokes:
@@ -166,24 +168,21 @@ def elasticity(disp=("dx", "dy"), family: str = "biquadratic",
     def form(ops, u, aux):
         lam_ = aux.get("lambda", lam)
         mu_ = aux.get("mu", mu)
-        G = jnp.stack([ops.grad(family, u[c]) for c in disp], axis=1)  # (nq, dim, dim): G[q,d,x] = du_d/dx_x
-        I = jnp.eye(dim)
+        G = jnp.stack([ops.grad(family, u[c]) for c in disp], axis=1)  # (nq, dim, dim[, ne]): G[q,d,x] = du_d/dx_x
+        I = tensors.eye_like(dim, G)
         if model == "linear":
-            eps = 0.5 * (G + jnp.swapaxes(G, 1, 2))
-            tr = jnp.trace(eps, axis1=1, axis2=2)
-            P = 2.0 * mu_ * eps + lam_ * tr[:, None, None] * I
+            eps = 0.5 * (G + tensors.transpose(G))
+            P = 2.0 * mu_ * eps + lam_ * tensors.qpm(tensors.trace(eps)) * I
         elif model == "saint-venant":
             F = I + G
-            E = 0.5 * (jnp.einsum("qki,qkj->qij", F, F) - I)
-            trE = jnp.trace(E, axis1=1, axis2=2)
-            S = 2.0 * mu_ * E + lam_ * trE[:, None, None] * I
-            P = jnp.einsum("qik,qkj->qij", F, S)
+            E = 0.5 * (tensors.matTmul(F, F) - I)
+            S = 2.0 * mu_ * E + lam_ * tensors.qpm(tensors.trace(E)) * I
+            P = tensors.matmul(F, S)
         elif model == "neo-hookean":
             F = I + G
-            J = jnp.linalg.det(F)
-            Finv = jnp.linalg.inv(F)
-            FinvT = jnp.swapaxes(Finv, 1, 2)
-            P = mu_ * (F - FinvT) + lam_ * jnp.log(J)[:, None, None] * FinvT
+            J = tensors.det(F)
+            FinvT = tensors.transpose(tensors.inv(F))
+            P = mu_ * (F - FinvT) + lam_ * tensors.qpm(jnp.log(J)) * FinvT
         else:
             # full reference registry (Solid.cpp:62-95): Bonet-Wood /
             # Allan-Bower / Mooney-Rivlin variants via the shared
@@ -192,7 +191,7 @@ def elasticity(disp=("dx", "dy"), family: str = "biquadratic",
             pq = (ops.value(pres_family, u[pres])
                   if pres is not None else None)
             P = first_piola(model, G, mu_, lam_, p=pq, incompressible=True)
-            fq2 = force(ops.x) if force is not None else None
+            fq2 = ops.pointwise(force) if force is not None else None
             out = {}
             for d, c in enumerate(disp):
                 r = ops.tgrad(family, P[:, d, :])
@@ -201,7 +200,7 @@ def elasticity(disp=("dx", "dy"), family: str = "biquadratic",
                 out[c] = r
             if pres is not None:
                 F = I + G
-                J = jnp.linalg.det(F)
+                J = tensors.det(F)
                 cres = (J - 1.0) if incompressible else \
                     (J - 1.0) - ops.value(pres_family, u[pres]) / lam_
                 out[pres] = -ops.t(pres_family, cres)
@@ -210,13 +209,13 @@ def elasticity(disp=("dx", "dy"), family: str = "biquadratic",
         if pres is not None:
             pq = ops.value(pres_family, u[pres])
             if model == "linear":
-                P = P - pq[:, None, None] * I
+                P = P - tensors.qpm(pq) * I
             else:
                 F = I + G
-                J = jnp.linalg.det(F)
-                FinvT = jnp.swapaxes(jnp.linalg.inv(F), 1, 2)
-                P = P - (pq * J)[:, None, None] * FinvT
-        fq = force(ops.x) if force is not None else None
+                J = tensors.det(F)
+                FinvT = tensors.transpose(tensors.inv(F))
+                P = P - tensors.qpm(pq * J) * FinvT
+        fq = ops.pointwise(force) if force is not None else None
         for d, c in enumerate(disp):
             r = ops.tgrad(family, P[:, d, :])
             if fq is not None:
@@ -224,12 +223,12 @@ def elasticity(disp=("dx", "dy"), family: str = "biquadratic",
             out[c] = r
         if pres is not None:
             if model == "linear":
-                divu = jnp.trace(G, axis1=1, axis2=2)
+                divu = tensors.trace(G)
                 cres = divu if incompressible else divu - ops.value(
                     pres_family, u[pres]) / lam_
             else:
                 F = I + G
-                J = jnp.linalg.det(F)
+                J = tensors.det(F)
                 cres = (J - 1.0) if incompressible else (J - 1.0) - ops.value(
                     pres_family, u[pres]) / lam_
             out[pres] = -ops.t(pres_family, cres)
@@ -251,17 +250,17 @@ def willmore_graph(u_var: str = "u", w_var: str = "W",
     W = -1/u (spheres are Willmore surfaces)."""
 
     def form(ops, u, aux):
-        Gu = ops.grad(family, u[u_var])                   # (nq, dim)
+        Gu = ops.grad(family, u[u_var])                   # (nq, dim[, ne])
         Wq = ops.value(family, u[w_var])
         GW = ops.grad(family, u[w_var])
-        A2 = 1.0 + jnp.sum(Gu * Gu, axis=-1)
+        A2 = 1.0 + tensors.vdot(Gu, Gu)
         A = jnp.sqrt(A2)
         # B gradW = gradW - (gradu . gradW) gradu / A^2
-        BgW = GW - (jnp.sum(Gu * GW, axis=-1) / A2)[:, None] * Gu
-        flux_u = (BgW - ((Wq * Wq / A2 + c))[:, None] * Gu) / A[:, None]
+        BgW = GW - tensors.qp(tensors.vdot(Gu, GW) / A2) * Gu
+        flux_u = (BgW - tensors.qp(Wq * Wq / A2 + c) * Gu) / tensors.qp(A)
         return {
             w_var: (ops.t(family, -2.0 * Wq / A)
-                    - ops.tgrad(family, Gu / A[:, None])),
+                    - ops.tgrad(family, Gu / tensors.qp(A))),
             u_var: ops.tgrad(family, flux_u),
         }
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..assembly import tensors
+
 # canonical-name -> model id, matching Solid.cpp:62-95 (case-insensitive,
 # "-MassPenalty" suffixes share the base model id)
 MODEL_IDS = {
@@ -37,9 +39,10 @@ MODEL_IDS = {
 
 
 def _embed3(G):
-    """Embed (nq, d, d) displacement gradient into 3x3 (plane strain)."""
-    nq, d = G.shape[0], G.shape[1]
-    out = jnp.zeros((nq, 3, 3), G.dtype)
+    """Embed (nq, d, d[, ne]) displacement gradient into 3x3 (plane strain);
+    trailing element axis (batched element-last layout) passes through."""
+    d = G.shape[1]
+    out = jnp.zeros(G.shape[:1] + (3, 3) + G.shape[3:], G.dtype)
     return out.at[:, :d, :d].set(G)
 
 
@@ -49,44 +52,44 @@ def cauchy_stress(model, Gd_hat, mu, lam=0.0, p=None, incompressible=True):
     Gd_hat: (nq, dim, dim) hat-frame displacement gradient, dim in {2, 3};
     p: optional (nq,) pressure for the incompressible models."""
     mid = MODEL_IDS[model.lower()] if isinstance(model, str) else int(model)
-    dim = Gd_hat.shape[-1]
+    dim = Gd_hat.shape[1]
     G3 = _embed3(Gd_hat)
-    I = jnp.eye(3, dtype=Gd_hat.dtype)
-    F = I[None] + G3
+    I = tensors.eye_like(3, G3)
+    F = I + G3
     inc = 1.0 if (incompressible and p is not None) else 0.0
     pq = p if p is not None else 0.0
 
     if mid == 0:
-        e = 0.5 * (G3 + jnp.swapaxes(G3, 1, 2))
-        tre = jnp.trace(e, axis1=1, axis2=2)
+        e = 0.5 * (G3 + tensors.transpose(G3))
+        tre = tensors.trace(e)
         sig = 2.0 * mu * e
         if inc:
-            sig = sig - (2.0 * mu * tre * pq)[:, None, None] * I[None]
+            sig = sig - tensors.qpm(2.0 * mu * tre * pq) * I
         else:
-            sig = sig + (lam * tre)[:, None, None] * I[None]
+            sig = sig + tensors.qpm(lam * tre) * I
         return sig[:, :dim, :dim]
 
-    B = jnp.einsum("qik,qjk->qij", F, F)
-    J = jnp.linalg.det(F)
-    I1 = jnp.trace(B, axis1=1, axis2=2)
+    B = tensors.matmulT(F, F)
+    J = tensors.det(F)
+    I1 = tensors.trace(B)
     if mid == 1:
-        sig = mu * B - (inc * mu * I1 * pq)[:, None, None] * I[None]
+        sig = mu * B - tensors.qpm(inc * mu * I1 * pq) * I
     elif mid == 2:
-        sig = (mu / J)[:, None, None] * B \
-            - (inc * mu / J * pq)[:, None, None] * I[None]
+        sig = tensors.qpm(mu / J) * B \
+            - tensors.qpm(inc * mu / J * pq) * I
     elif mid == 3:
-        sig = (mu / J)[:, None, None] * (B - I[None]) \
-            + (lam / J * jnp.log(J))[:, None, None] * I[None]
+        sig = tensors.qpm(mu / J) * (B - I) \
+            + tensors.qpm(lam / J * jnp.log(J)) * I
     elif mid == 4:
-        sig = (mu / J ** (5.0 / 3.0))[:, None, None] * \
-            (B - (I1 / 3.0)[:, None, None] * I[None]) \
-            + (lam * (J - 1.0))[:, None, None] * I[None]
+        sig = tensors.qpm(mu / J ** (5.0 / 3.0)) * \
+            (B - tensors.qpm(I1 / 3.0) * I) \
+            + tensors.qpm(lam * (J - 1.0)) * I
     elif mid == 5:
         C1 = mu / 3.0
         C2 = C1 / 2.0
-        sig = 2.0 * (C1 * B - C2 * jnp.linalg.inv(B))
+        sig = 2.0 * (C1 * B - C2 * tensors.inv(B))
         if inc:
-            sig = sig - pq[:, None, None] * I[None]
+            sig = sig - tensors.qpm(pq) * I
     else:
         raise KeyError(model)
     return sig[:, :dim, :dim]
@@ -95,9 +98,9 @@ def cauchy_stress(model, Gd_hat, mu, lam=0.0, p=None, incompressible=True):
 def first_piola(model, Gd_hat, mu, lam=0.0, p=None, incompressible=True):
     """First Piola-Kirchhoff stress P = J sigma F^{-T} (total-Lagrangian
     assembly on the reference configuration)."""
-    dim = Gd_hat.shape[-1]
+    dim = Gd_hat.shape[1]
     sig = cauchy_stress(model, Gd_hat, mu, lam, p, incompressible)
-    F = jnp.eye(dim, dtype=Gd_hat.dtype)[None] + Gd_hat
-    J = jnp.linalg.det(F)
-    FinvT = jnp.swapaxes(jnp.linalg.inv(F), 1, 2)
-    return J[:, None, None] * jnp.einsum("qik,qkj->qij", sig, FinvT)
+    F = tensors.eye_like(dim, Gd_hat) + Gd_hat
+    J = tensors.det(F)
+    FinvT = tensors.transpose(tensors.inv(F))
+    return tensors.qpm(J) * tensors.matmul(sig, FinvT)

@@ -24,6 +24,8 @@ from typing import Callable, Optional, Sequence
 
 import jax.numpy as jnp
 
+from ..assembly import tensors
+
 from .system import NonLinearImplicitSystem
 
 
@@ -47,35 +49,35 @@ def fsi_steady_form(disp=("dx", "dy"), vel=("u", "v"), pres: str = "p",
         w_s = jnp.where(is_solid, 1.0, 0.0)
         w_f = 1.0 - w_s
 
-        d_nodes = jnp.stack([u[c] for c in disp], axis=-1)  # (nd_geo_fam, dim)
+        d_nodes = jnp.stack([u[c] for c in disp], axis=1)  # (nd_geo_fam, dim[, ne])
         # displacement lives on the geometry family -> usable to move the mesh
         mops = ops.moved(d_nodes)
 
-        I = jnp.eye(dim)
         G = jnp.stack([ops.grad(disp_family, u[c]) for c in disp], axis=1)
+        I = tensors.eye_like(dim, G)
         out = {}
 
         # ---- fluid: NS on moved configuration --------------------------
         Vq = [mops.value(vel_family, u[c]) for c in vel]
         Gv = [mops.grad(vel_family, u[c]) for c in vel]
         pq = mops.value(pres_family, u[pres])
-        fq = force(mops.x) if force is not None else None
+        fq = mops.pointwise(force) if force is not None else None
 
         # ---- solid: total-Lagrangian stress on reference config --------
         F = I + G
         if solid_model == "saint-venant":
-            E = 0.5 * (jnp.einsum("qki,qkj->qij", F, F) - I)
-            S = 2 * mu * E + lam * jnp.trace(E, axis1=1, axis2=2)[:, None, None] * I
-            P = jnp.einsum("qik,qkj->qij", F, S)
+            E = 0.5 * (tensors.matTmul(F, F) - I)
+            S = 2 * mu * E + lam * tensors.qpm(tensors.trace(E)) * I
+            P = tensors.matmul(F, S)
         else:  # neo-hookean
-            J = jnp.linalg.det(F)
-            FinvT = jnp.swapaxes(jnp.linalg.inv(F), 1, 2)
-            P = mu * (F - FinvT) + lam * jnp.log(J)[:, None, None] * FinvT
+            J = tensors.det(F)
+            FinvT = tensors.transpose(tensors.inv(F))
+            P = mu * (F - FinvT) + lam * tensors.qpm(jnp.log(J)) * FinvT
         if incompressible_solid:
-            Js = jnp.linalg.det(F)
-            FinvT = jnp.swapaxes(jnp.linalg.inv(F), 1, 2)
+            Js = tensors.det(F)
+            FinvT = tensors.transpose(tensors.inv(F))
             ps = ops.value(pres_family, u[pres])
-            P = P - (ps * Js)[:, None, None] * FinvT
+            P = P - tensors.qpm(ps * Js) * FinvT
 
         for c_i, c in enumerate(vel):
             # fluid momentum (moved config)
@@ -92,7 +94,7 @@ def fsi_steady_form(disp=("dx", "dy"), vel=("u", "v"), pres: str = "p",
         # continuity / solid pressure
         divV = sum(Gv[e][:, e] for e in range(dim))
         if incompressible_solid:
-            Js = jnp.linalg.det(F)
+            Js = tensors.det(F)
             rs_p = ops.t(pres_family, Js - 1.0)
         else:
             rs_p = ops.t(pres_family, ops.value(pres_family, u[pres]))

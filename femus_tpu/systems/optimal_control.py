@@ -43,11 +43,11 @@ def elliptic_control_form(state: str = "y", adj: str = "l", ctrl: str = "u",
         yq = ops.value(family, u[state])
         lq = ops.value(family, u[adj])
         uq = ops.value(family, u[ctrl])
-        yd = y_target(ops.x)
+        yd = ops.pointwise(y_target)
         out = {}
         r_state = kappa * ops.tgrad(family, gy) - ops.t(family, uq)
         if rhs is not None:
-            r_state = r_state - ops.t(family, rhs(ops.x))
+            r_state = r_state - ops.t(family, ops.pointwise(rhs))
         out[state] = r_state
         out[adj] = kappa * ops.tgrad(family, gl) + ops.t(family, yq - yd)
         r_ctrl = alpha * ops.t(family, uq) - ops.t(family, lq)

@@ -244,7 +244,12 @@ class System:
                          and a.n_dofs_pad <= cfg.coarse_direct_max_dofs
                          and n_levels > 1)
 
-        def step(u, tables, aux_fields, aux_scalars):
+        # transfers (PtAP schedules, P/R operators), Vanka block tables, and
+        # Dirichlet masks are passed through jit as ARGUMENTS (pytrees) —
+        # baked-in constants of their size (tens of M entries on fine
+        # levels) stall XLA constant folding for minutes per compile
+        def step(u, tables, aux_fields, aux_scalars, transfers_a, dmasks_a,
+                 vblocks_a):
             R, data = assemble(u, tables, aux_fields, aux_scalars)
             A = a.op_with(data)
             if coarse_direct:
@@ -252,16 +257,16 @@ class System:
                 res = jnp.linalg.norm(R + A @ delta)
                 return u + delta, delta, res, jnp.array(1)
             if transfers:
-                h = build_hierarchy(A, transfers, smoother=cfg.smoother,
+                h = build_hierarchy(A, transfers_a, smoother=cfg.smoother,
                                     n_pre=cfg.n_pre, n_post=cfg.n_post,
                                     cheb_degree=cfg.cheb_degree,
-                                    dir_masks=dmasks,
-                                    vanka_blocks=vblocks,
+                                    dir_masks=dmasks_a,
+                                    vanka_blocks=vblocks_a,
                                     vanka_omega=cfg.vanka_omega)
                 M = h.as_preconditioner("V")
             elif cfg.smoother == "vanka":
                 from ..algebra.vanka import vanka_smoother
-                sm = vanka_smoother(A, vblocks[0], omega=cfg.vanka_omega)
+                sm = vanka_smoother(A, vblocks_a[0], omega=cfg.vanka_omega)
                 M = lambda r: sm(jnp.zeros_like(r), r)
             else:
                 d = A.diagonal()
@@ -277,8 +282,13 @@ class System:
             return u + delta, delta, info.residual, info.iters
 
         jitted = jax.jit(step)
-        self._step_fns[level] = jitted
-        return jitted
+
+        def run(u, tables, aux_fields, aux_scalars):
+            return jitted(u, tables, aux_fields, aux_scalars, transfers,
+                          dmasks, vblocks)
+
+        self._step_fns[level] = run
+        return run
 
     # ---- norms ---------------------------------------------------------
     def eps_norms(self, delta: np.ndarray, u: np.ndarray, level: int) -> Dict[str, float]:
