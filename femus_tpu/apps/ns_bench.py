@@ -122,3 +122,46 @@ def var_norm(asm: Assembler, u: np.ndarray, name: str) -> float:
 def bdc_initialized_T(asmT: Assembler, mesh) -> np.ndarray:
     """The level-3 T field of the reference run: zeros + Dirichlet values."""
     return apply_dirichlet_values(asmT, np.zeros(asmT.n_dofs))
+
+
+def make_ns_system(levels: int = 4, smoother: str = "vanka",
+                   rtol: float = 1e-8):
+    """The testNSSteadyDD drive through the framework's OWN solver stack
+    (reference main.cpp:33-46 + LinearEquationSolverPetsc.cpp:294-353):
+    ``levels``-deep uniformly refined hierarchy on nsbenc.neu, F-cycle
+    coarse-to-fine Newton ratchet, per-level MG-preconditioned GMRES with
+    multiplicative Vanka (ASM-block) smoothers and a dense coarse solve.
+
+    Returns (problem, system); ``system.solve()`` runs the full F-cycle and
+    records per-iteration GMRES counts in ``system.history``.
+    """
+    from ..mesh.multilevel import MultiLevelMesh
+    from ..systems.problem import MultiLevelProblem
+    from ..systems.solution import MultiLevelSolution
+    from ..systems.system import NonLinearImplicitSystem
+
+    ml_mesh = MultiLevelMesh(read_neu(MESH), levels)
+    ml_sol = MultiLevelSolution(ml_mesh)
+    ml_sol.add_solution("U", "biquadratic")
+    ml_sol.add_solution("V", "biquadratic")
+    ml_sol.add_solution("P", "disc_linear")
+    ml_sol.initialize("U", lambda x: inflow_u(x[:, 1]))
+    ml_sol.initialize("V")
+    ml_sol.initialize("P")
+    ml_sol.attach_bc(bc_ns)
+    ml_sol.generate_bdc("U", "V", "P")
+    prob = MultiLevelProblem(ml_mesh, ml_sol, quad_order="seventh")
+    sys_ = prob.add_system(NonLinearImplicitSystem, "NS")
+    sys_.add_unknown("U", "V", "P")
+    sys_.set_assembly(navier_stokes(("U", "V"), "P",
+                                    pres_family="disc_linear", nu=IRE))
+    cfg = sys_.config
+    cfg.smoother = smoother
+    cfg.mg_type = "F"
+    cfg.use_mg = True
+    cfg.rtol = rtol
+    cfg.restart = 60
+    cfg.max_outer = 10
+    cfg.nonlinear_tol = 1e-9
+    sys_.init()
+    return prob, sys_

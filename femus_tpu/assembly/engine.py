@@ -906,6 +906,76 @@ class Assembler:
 
         return assemble
 
+    def make_diag_fn(self, pass_tables: bool = True):
+        """Jacobian DIAGONAL without materializing global ELL data —
+        the smoother scaling of the matrix-free operator path (SURVEY.md §7
+        design inversion "two matrix paths": the fine-level operator is
+        ``jax.linearize`` of the residual; only its diagonal is assembled).
+
+        (u, tables, aux_fields, aux_scalars) -> diag (n_dofs_pad,).
+        Volume contributions only: face/particle terms reach the
+        matrix-free OPERATOR exactly (they are inside the residual that gets
+        linearized); their rare diagonal contributions are neglected in the
+        smoother scaling.  Dirichlet rows get exactly 1.
+        """
+        layout = getattr(self.volume_form, "layout", "element_last")
+        const_tables = None if pass_tables else self.device_tables()
+
+        def diag_t(u, tables, aux_fields=None, aux_scalars=None):
+            aux_fields = aux_fields or {}
+            aux_scalars = aux_scalars or {}
+            u = u.astype(self.dtype)
+            u_loc = u[tables["edofs"]]
+            aux_loc = {name: aux_fields[name][tables["aux_conn"][name]]
+                       for name, _ in self.aux_field_specs}
+            tabs, qw = tables["tabs"], tables["qweights"]
+            if layout == "element_last":
+                coordsT = jnp.transpose(tables["coords_e"], (1, 2, 0))
+                aux_named = {n: aux_loc[n].T
+                             for n, _ in self.aux_field_specs}
+
+                def all_elems(ulT):
+                    ops = ElemOpsBatched(tabs, qw, coordsT, self.dim)
+                    uu = self._split(ulT)
+                    aux = dict(aux_scalars)
+                    aux.update(aux_named)
+                    aux["group"] = tables["elem_group"]
+                    out = self.volume_form(ops, uu, aux)
+                    return jnp.concatenate(
+                        [out[un.name] for un in self.unknowns])
+
+                _, lin = jax.linearize(all_elems, u_loc.T)
+                eye = jnp.eye(self.ndt, dtype=self.dtype)
+                tang = jnp.broadcast_to(eye[:, :, None],
+                                        (self.ndt,) + u_loc.T.shape)
+                jacT = jax.vmap(lin)(tang)             # (ndt_j, ndt_i, ne)
+                dloc = jnp.diagonal(jacT, axis1=0, axis2=1)  # (ne, ndt)
+            else:
+                def one(ul, cl, grp, *aux_vals):
+                    al = dict(zip([n for n, _ in self.aux_field_specs],
+                                  aux_vals))
+                    al["group"] = grp
+                    return self._elem_residual(tabs, qw, ul, cl, al,
+                                               aux_scalars)
+
+                aux_arrays = [aux_loc[n] for n, _ in self.aux_field_specs]
+                jac = jax.vmap(jax.jacfwd(one))(
+                    u_loc, tables["coords_e"], tables["elem_group"],
+                    *aux_arrays)
+                dloc = jnp.diagonal(jac, axis1=1, axis2=2)   # (ne, ndt)
+            diag = (jnp.zeros(self.n_dofs_pad, self.dtype)
+                    .at[tables["scatter_rows"].ravel()]
+                    .add(dloc.ravel(), mode="drop"))
+            return jnp.where(tables["dir_mask"], 1.0, diag)
+
+        if pass_tables:
+            return diag_t
+
+        def diag_fn(u, aux_fields=None, aux_scalars=None):
+            return diag_t(u, const_tables, aux_fields, aux_scalars)
+
+        return diag_fn
+
     def _face_slots(self, batch):
         if "slots" not in batch:
             lut = _build_slot_lut(self.pattern)
