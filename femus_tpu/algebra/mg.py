@@ -100,6 +100,66 @@ class MGHierarchy:
         return lambda r: fn(r.astype(dt)).astype(r.dtype)
 
 
+@dataclasses.dataclass
+class MatFreeOp:
+    """Fine-level operator as a J.v closure (``jax.linearize`` of the
+    residual — SURVEY.md §7 design inversion "two matrix paths").  Quacks
+    like :class:`SparseOp` where cycles need it (matvec / @)."""
+
+    mv: Callable
+    n: int
+
+    @property
+    def n_rows(self) -> int:
+        return self.n
+
+    def matvec(self, x):
+        return self.mv(x)
+
+    def __matmul__(self, x):
+        return self.mv(x)
+
+
+def build_hierarchy_matfree(fine_mv: Callable, fine_diag: jnp.ndarray,
+                            next_op: SparseOp,
+                            transfers: Sequence,
+                            smoother: str = "chebyshev",
+                            n_pre: int = 2, n_post: int = 2,
+                            jacobi_omega: float = 0.8, cheb_degree: int = 3,
+                            dir_masks: Optional[Sequence] = None,
+                            vanka_blocks: Optional[Sequence] = None,
+                            vanka_omega: float = 0.9,
+                            compute_dtype=None) -> MGHierarchy:
+    """Hierarchy whose FINEST level is matrix-free: operator = ``fine_mv``
+    (J.v via linearized residual, no ELL data materialized), smoother =
+    Chebyshev/Jacobi on the scatter-assembled ``fine_diag`` (a Vanka request
+    falls back to Chebyshev on the fine level — Vanka needs assembled block
+    slots — but still applies on the assembled sub-levels); the first
+    coarse level is the ASSEMBLED ``next_op`` (assembled directly on the
+    coarse mesh at the restricted state — non-Galerkin rediscretization
+    replaces the PtAP that would otherwise need the fine matrix), and
+    deeper levels Galerkin-coarsen from it via ``transfers[:-1]``.
+    ``transfers[-1]`` supplies only the fine P/R pair."""
+    sub = build_hierarchy(next_op, transfers[:-1], smoother=smoother,
+                          n_pre=n_pre, n_post=n_post,
+                          jacobi_omega=jacobi_omega, cheb_degree=cheb_degree,
+                          dir_masks=dir_masks, vanka_blocks=vanka_blocks,
+                          vanka_omega=vanka_omega,
+                          compute_dtype=compute_dtype)
+    safe = jnp.where(jnp.abs(fine_diag) < 1e-30, 1.0, fine_diag)
+    if smoother == "jacobi":
+        sm = jacobi_smoother(fine_mv, safe, jacobi_omega, iters=1)
+    else:
+        lam = power_lambda_max(fine_mv, 1.0 / safe, fine_diag.shape[0])
+        sm = chebyshev_smoother(fine_mv, safe, lam, degree=cheb_degree)
+    P, R = transfers[-1][0], transfers[-1][1]
+    levels = sub.levels + [MGLevel(MatFreeOp(fine_mv, fine_diag.shape[0]),
+                                   P, R, sm)]
+    h = MGHierarchy(levels, n_pre, n_post, compute_dtype=compute_dtype)
+    h.coarse_dense = sub.coarse_dense
+    return h
+
+
 def apply_dirichlet_identity(op: SparseOp, valid, mask) -> SparseOp:
     """Zero rows/cols at masked dofs and put 1 on their diagonal (symmetric
     elimination, matching assembly/engine.py)."""

@@ -49,6 +49,12 @@ class SolverConfig:
     vanka_omega: float = 0.9
     mg_type: str = "V"              # "V" | "F" (F = coarse-to-fine ratchet)
     use_mg: bool = True
+    # operator path (SURVEY.md §7 design inversion "two matrix paths"):
+    # "assembled" = ELL data + PtAP Galerkin chain (reference semantics);
+    # "matrix_free" = finest-level J.v via jax.linearize of the residual (no
+    # fine ELL data materialized), Chebyshev on a scatter-assembled diagonal,
+    # first coarse level re-assembled on its own mesh at the restricted state
+    operator: str = "assembled"
     # coarsest-level direct solve (reference PCMGGetCoarseSolve -> LU,
     # LinearEquationSolverPetsc.cpp:236-239); dofs below this threshold are
     # solved densely on-device instead of by preconditioned Krylov
@@ -244,6 +250,11 @@ class System:
                          and a.n_dofs_pad <= cfg.coarse_direct_max_dofs
                          and n_levels > 1)
 
+        if cfg.operator == "matrix_free" and not coarse_direct:
+            run = self._matrix_free_step(level, a, cfg, transfers, dmasks)
+            self._step_fns[level] = run
+            return run
+
         # transfers (PtAP schedules, P/R operators), Vanka block tables, and
         # Dirichlet masks are passed through jit as ARGUMENTS (pytrees) —
         # baked-in constants of their size (tens of M entries on fine
@@ -288,6 +299,92 @@ class System:
                           dmasks, vblocks)
 
         self._step_fns[level] = run
+        return run
+
+    def _matrix_free_step(self, level: int, a, cfg, transfers, dmasks):
+        """Matrix-free step (SURVEY.md §7 "two matrix paths"): the fine
+        operator is ``jax.linearize`` of the residual — NO fine-level ELL
+        data is ever materialized.  MG coarse side: the level below is
+        re-assembled on its own mesh at the averaged-restricted state
+        (u_c = (P^T u)/(P^T 1)); deeper levels Galerkin-coarsen from it."""
+        from ..algebra.mg import build_hierarchy_matfree
+        assemble_res = a.make_assemble_fn(with_jacobian=False,
+                                          pass_tables=True)
+        diag_fn = a.make_diag_fn()
+        m_f = jnp.asarray(a.dirichlet_mask)
+
+        sub_tr = fine_pr = rsol = None
+        a_c = None
+        vblocks = None
+        if transfers:
+            sub_tr = self._transfers_for(level - 1)
+            fine_pr = (transfers[level - 1][0], transfers[level - 1][1])
+            a_c = self.assemblers[level - 1]
+            assemble_c = a_c.make_assemble_fn(pass_tables=True)
+            P_sol = block_diag_prolongation(self.ml_mesh.levels[level - 1],
+                                            self.ml_mesh.levels[level],
+                                            self.unknowns)
+            from ..algebra.transfer import op_pair_from_scipy as _opp
+            _, Rsol = _opp(P_sol.tocsr())
+            w = np.asarray(P_sol.sum(axis=0)).ravel()
+            winv = jnp.asarray(np.where(np.abs(w) > 1e-14, 1.0 / np.maximum(
+                np.abs(w), 1e-14), 0.0))
+            rsol = (Rsol, winv)
+            if cfg.smoother == "vanka":
+                from ..algebra.vanka import build_element_blocks
+                vblocks = []
+                for l in range(level):
+                    pat = (sub_tr[l][2].coarse_pattern if l < len(sub_tr)
+                           else None)
+                    vblocks.append(build_element_blocks(
+                        self.assemblers[l], cfg.vanka_block_elems,
+                        pattern=pat))
+
+        def step(u, tables, aux_fields, aux_scalars, sub_tr_a, fine_pr_a,
+                 dmasks_a, vblocks_a, tables_c, aux_c, rsol_a):
+            R, lin = jax.linearize(
+                lambda uu: assemble_res(uu, tables, aux_fields,
+                                        aux_scalars)[0], u)
+
+            def Amv(v):
+                vm = jnp.where(m_f, 0.0, v)
+                return jnp.where(m_f, v, lin(vm))
+
+            diag = diag_fn(u, tables, aux_fields, aux_scalars)
+            if transfers:
+                Rsol_a, winv_a = rsol_a
+                u_c0 = (Rsol_a @ u[:Rsol_a.n_cols]) * winv_a
+                u_c = (jnp.zeros(a_c.n_dofs_pad, u.dtype)
+                       .at[:u_c0.shape[0]].set(u_c0))
+                _, data_c = assemble_c(u_c, tables_c, aux_c, aux_scalars)
+                A_c = a_c.op_with(data_c)
+                h = build_hierarchy_matfree(
+                    Amv, diag, A_c, list(sub_tr_a) + [fine_pr_a],
+                    smoother=cfg.smoother, n_pre=cfg.n_pre,
+                    n_post=cfg.n_post, cheb_degree=cfg.cheb_degree,
+                    dir_masks=dmasks_a[:-1] if dmasks_a else None,
+                    vanka_blocks=vblocks_a, vanka_omega=cfg.vanka_omega)
+                M = h.as_preconditioner("V")
+            else:
+                dsafe = jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
+                M = lambda r: r / dsafe
+            if cfg.outer == "cg":
+                delta, info = cg(Amv, -R, M=M, tol=cfg.rtol, atol=cfg.atol,
+                                 maxiter=cfg.max_outer * cfg.restart)
+            else:
+                delta, info = gmres(Amv, -R, M=M, tol=cfg.rtol,
+                                    atol=cfg.atol, restart=cfg.restart,
+                                    max_restarts=cfg.max_outer)
+            return u + delta, delta, info.residual, info.iters
+
+        jitted = jax.jit(step)
+
+        def run(u, tables, aux_fields, aux_scalars):
+            tables_c = a_c.device_tables_cached() if a_c is not None else None
+            aux_c = self._aux_arrays(level - 1) if a_c is not None else {}
+            return jitted(u, tables, aux_fields, aux_scalars, sub_tr,
+                          fine_pr, dmasks, vblocks, tables_c, aux_c, rsol)
+
         return run
 
     # ---- norms ---------------------------------------------------------
