@@ -75,25 +75,47 @@ def _color_blocks(blocks: Sequence[np.ndarray], n: int) -> np.ndarray:
 
 def build_element_blocks(assembler: Assembler, elems_per_block: int = 4,
                          include_pressure: bool = True,
-                         pattern: Optional[EllPattern] = None) -> VankaBlocks:
+                         pattern: Optional[EllPattern] = None,
+                         dof_filter: Optional[np.ndarray] = None,
+                         groups: Optional[Sequence[int]] = None) -> VankaBlocks:
     """Blocks = dof patches of ``elems_per_block`` consecutive elements
     (reference SetElementBlockNumber semantics, mesh-partition order).
 
     pattern: ELL pattern the target operator uses (defaults to the
     assembler's own; pass the PtAP coarse pattern when smoothing a
-    Galerkin-coarsened operator)."""
-    edofs = assembler.edofs[:assembler.mesh.n_elems]
-    ne = edofs.shape[0]
-    nb = -(-ne // elems_per_block)
+    Galerkin-coarsened operator).
+    dof_filter: boolean mask (n_dofs_pad,) restricting blocks to a dof
+    subset (Vanka-within-split, reference ASM-within-split).
+    groups: ``None`` = one sweep over all elements; ``"material"`` = blocks
+    never span two element groups (material-split ASM blocks for FSI,
+    reference MeshASMPartitioning.hpp:37-50 block_type_range — fluid and
+    solid patches are factored and swept separately); a sequence of group
+    ids = restrict blocks to those groups only."""
+    edofs_all = assembler.edofs[:assembler.mesh.n_elems]
+    eg = np.asarray(getattr(assembler.mesh, "elem_group",
+                            np.zeros(assembler.mesh.n_elems, np.int32)))
+    if groups is None:
+        chunks = [edofs_all]
+    elif isinstance(groups, str) and groups == "material":
+        chunks = [edofs_all[eg == g] for g in np.unique(eg)]
+    else:
+        chunks = [edofs_all[np.isin(eg, list(groups))]]
     n = assembler.n_dofs_pad
     blocks = []
-    for b in range(nb):
-        sel = edofs[b * elems_per_block:(b + 1) * elems_per_block]
-        d = np.unique(sel)
-        d = d[(d >= 0) & (d < n)]
-        # drop Dirichlet rows from blocks (their rows are identity)
-        d = d[~assembler.dirichlet_mask[d]]
-        blocks.append(d)
+    for edofs in chunks:
+        nb_c = -(-len(edofs) // elems_per_block)
+        for b in range(nb_c):
+            sel = edofs[b * elems_per_block:(b + 1) * elems_per_block]
+            d = np.unique(sel)
+            d = d[(d >= 0) & (d < n)]
+            # drop Dirichlet rows from blocks (their rows are identity)
+            d = d[~assembler.dirichlet_mask[d]]
+            if dof_filter is not None:
+                d = d[dof_filter[d]]
+            if len(d):
+                blocks.append(d)
+    assert blocks, "no non-empty Vanka blocks (filter too restrictive?)"
+    nb = len(blocks)
     bs = max(len(b) for b in blocks)
     dofs = np.full((nb, bs), n, np.int64)
     for i, b in enumerate(blocks):

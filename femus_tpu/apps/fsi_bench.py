@@ -42,6 +42,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..assembly import tensors
 from ..assembly.bc import generate_bdc, apply_dirichlet_values
 from ..assembly.engine import Assembler, Unknown
 from ..mesh.gambit import read_neu
@@ -94,12 +95,12 @@ def fsi_form(ops, u, aux):
     w_f = 1.0 - w_s
     smark = aux["smark"]                       # (nd_bq,) 1 on solid nodes
 
-    d_nodes = jnp.stack([u["DX"], u["DY"]], axis=-1)     # (nd_bq, dim)
+    d_nodes = jnp.stack([u["DX"], u["DY"]], axis=1)      # (nd_bq, dim[, ne])
     mops = ops.moved(d_nodes)
 
     # hat-frame displacement gradients (reference configuration)
     Gd_hat = jnp.stack([ops.grad("biquadratic", u[c])
-                        for c in ("DX", "DY")], axis=1)   # (nq, dim, dim)
+                        for c in ("DX", "DY")], axis=1)   # (nq, dim, dim[, ne])
     # moved-frame velocity values/gradients
     Vq = [mops.value("biquadratic", u[c]) for c in ("U", "V")]
     Gv = [mops.grad("biquadratic", u[c]) for c in ("U", "V")]
@@ -112,7 +113,8 @@ def fsi_form(ops, u, aux):
     dphi_hat = ops.dphi("biquadratic")         # (nq, nd, dim)
     w_raw = ops.qweights
     for k, c in enumerate(("DX", "DY")):
-        ale = jnp.einsum("qnx,qx,q->n", dphi_hat, Gd_hat[:, k, :], w_raw)
+        ale = jnp.einsum("qnx...,qx...,q->n...", dphi_hat, Gd_hat[:, k, :],
+                         w_raw)
         r_f = (1.0 - smark) * ale
         # solid kinematic: - phi_i * v_k, hat weight
         r_s = -ops.t("biquadratic", Vq[k])
@@ -120,12 +122,12 @@ def fsi_form(ops, u, aux):
 
     # ---- U/V rows --------------------------------------------------------
     # solid Cauchy stress: F = I + grad_hat(d); b = F F^T; (mus/J)(b - I)
-    I = jnp.eye(dim)
-    F = I[None] + Gd_hat
-    J = jnp.linalg.det(F)
+    I = tensors.eye_like(dim, Gd_hat)
+    F = I + Gd_hat
+    J = tensors.det(F)
     Jsafe = jnp.where(J > 1e-8, J, 1.0)
-    b = jnp.einsum("qik,qjk->qij", F, F)
-    cauchy = (MUS / Jsafe)[:, None, None] * (b - I[None])
+    b = tensors.matmulT(F, F)
+    cauchy = tensors.qpm(MUS / Jsafe) * (b - I)
 
     mdphi = mops.dphi("biquadratic")           # moved-frame gradients
     for k, c in enumerate(("U", "V")):
@@ -134,7 +136,8 @@ def fsi_form(ops, u, aux):
                + IRE * mops.tgrad("biquadratic", Gv[k])
                - mops.tgrad_d("biquadratic", pq, k))
         # grad(phi_i) : Cauchy[k, :] integrated with moved weight
-        r_s = (jnp.einsum("qnx,qx,q->n", mdphi, cauchy[:, k, :], mops.wdet)
+        r_s = (jnp.einsum("qnx...,qx...,q...->n...", mdphi, cauchy[:, k, :],
+                          mops.wdet)
                - mops.tgrad_d("biquadratic", pq, k))
         out[c] = w_f * r_f + w_s * r_s
 
