@@ -119,7 +119,9 @@ def read_med(path: str, mesh_name: Optional[str] = None,
     vol_types = [t for t in cells if _GEOM_DIM[_MED_TYPES[t][0]] ==
                  max(_GEOM_DIM[_MED_TYPES[t][0]] for t in cells)]
     if len(vol_types) != 1:
-        raise NotImplementedError(f"mixed volume cell types {vol_types}")
+        # hybrid mesh (reference per-element types, Elem.hpp:45; e.g. the
+        # shipped 00_salome/2d/zzz_hybrid_meshes): one block per cell type
+        return _read_med_mixed(vol_types, cells, fam_info, coords, scale)
     vt = vol_types[0]
     geom, nn = _MED_TYPES[vt]
     dim = _GEOM_DIM[geom]
@@ -139,6 +141,49 @@ def read_med(path: str, mesh_name: Optional[str] = None,
 
     _attach_med_boundary(mesh, cells, fam_info, dim)
     return mesh
+
+
+def _read_med_mixed(vol_types, cells, fam_info, coords, scale):
+    """Hybrid volume cell lists -> MixedMesh: one single-geom block per MED
+    cell type over one shared (deduplicated) node array; boundary cells
+    attach to whichever block owns the matching element face."""
+    from .mixed import MixedMesh
+
+    dim = max(_GEOM_DIM[_MED_TYPES[t][0]] for t in vol_types)
+    cur = coords[:, :dim].copy()
+    raw = []
+    for vt in sorted(vol_types):
+        geom, nn = _MED_TYPES[vt]
+        conn_med, vol_fam = cells[vt]
+        conn = conn_med[:, _med_perm(geom, nn)]
+        conn = fix_orientation(geom, conn, cur)
+        family = _NN_TO_FAMILY[(geom, nn)]
+        elem_group = np.zeros(len(conn), np.int32)
+        for med, (flag, prop) in fam_info.items():
+            elem_group[vol_fam == med] = prop or flag
+        # biquadratic completion grows the SHARED coords sequentially so
+        # later blocks can reuse nodes added by earlier ones
+        conn_bq, cur = _complete_biquadratic(geom, family, conn, cur)
+        raw.append((geom, conn_bq, elem_group))
+    # dedupe nodes completion may have duplicated on shared faces
+    keys = np.round(cur, 9)
+    uniq, idx, inv = np.unique(keys, axis=0, return_index=True,
+                               return_inverse=True)
+    new_coords = cur[idx] * scale
+    remap = inv.astype(np.int32)
+    blocks = []
+    for geom, conn_bq, elem_group in raw:
+        m = Mesh(dim=dim, geom=geom, coords=new_coords,
+                 conn=remap[conn_bq].astype(np.int32), elem_group=elem_group)
+        # boundary matching needs original node ids inside `cells`: remap the
+        # boundary cell lists too (done per block inside _attach: keys are
+        # corner node ids, so rebuild a remapped view once)
+        cells_r = {t: (remap[np.asarray(c, np.int64)]
+                       if _GEOM_DIM[_MED_TYPES[t][0]] == dim - 1 else c, f)
+                   for t, (c, f) in cells.items()}
+        _attach_med_boundary(m, cells_r, fam_info, dim)
+        blocks.append(m)
+    return MixedMesh(dim=dim, blocks=blocks)
 
 
 def _attach_med_boundary(mesh: Mesh, cells, fam_info, dim: int) -> None:

@@ -47,6 +47,10 @@ class SolverConfig:
     # vanka/ASM block smoother (reference FEMuS_ASM + SetElementBlockNumber)
     vanka_block_elems: int = 2
     vanka_omega: float = 0.9
+    # None = blocks sweep all elements; "material" = blocks never span two
+    # element groups (reference MeshASMPartitioning block_type_range -- the
+    # FSI fluid/solid split)
+    vanka_groups = None
     mg_type: str = "V"              # "V" | "F" (F = coarse-to-fine ratchet)
     use_mg: bool = True
     # operator path (SURVEY.md §7 design inversion "two matrix paths"):
@@ -238,9 +242,11 @@ class System:
                     pat = (transfers[l][2].coarse_pattern if l < len(transfers)
                            else None)
                     vblocks.append(build_element_blocks(
-                        self.assemblers[l], cfg.vanka_block_elems, pattern=pat))
+                        self.assemblers[l], cfg.vanka_block_elems, pattern=pat,
+                        groups=cfg.vanka_groups))
             else:
-                vblocks = [build_element_blocks(a, cfg.vanka_block_elems)]
+                vblocks = [build_element_blocks(a, cfg.vanka_block_elems,
+                                                groups=cfg.vanka_groups)]
 
         # the coarsest level of an MG drive gets a direct dense solve, like
         # the reference's PCMG coarse LU — a Vanka/Jacobi-preconditioned
