@@ -193,12 +193,14 @@ def build_hierarchy(fine_op: SparseOp,
     for l in range(n_levels - 2, -1, -1):
         sched: PtAPSchedule = transfers[l][2]
         data_c = sched.apply(ops[l + 1].data)
-        op_c = SparseOp(data_c, jnp.asarray(sched.coarse_pattern.cols),
-                        sched.coarse_pattern.n_cols)
+        ccols = (sched.coarse_cols if sched.coarse_cols is not None
+                 else jnp.asarray(sched.coarse_pattern.cols))
+        cvalid = (sched.coarse_valid if sched.coarse_valid is not None
+                  else jnp.asarray(sched.coarse_pattern.valid))
+        op_c = SparseOp(data_c, ccols, sched.coarse_pattern.n_cols)
         if dir_masks is not None and dir_masks[l] is not None:
-            op_c = apply_dirichlet_identity(
-                op_c, jnp.asarray(sched.coarse_pattern.valid),
-                jnp.asarray(dir_masks[l]))
+            op_c = apply_dirichlet_identity(op_c, cvalid,
+                                            jnp.asarray(dir_masks[l]))
         ops[l] = op_c
     P_ops = [t[0] for t in transfers]
     R_ops = [t[1] for t in transfers]

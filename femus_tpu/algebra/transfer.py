@@ -13,7 +13,7 @@
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,9 +66,14 @@ class PtAPSchedule:
     src: jnp.ndarray       # (n_triplets,) flat index into fine ELL data
     dst: jnp.ndarray       # (n_triplets,) flat index into coarse ELL data (sorted)
     coeff: jnp.ndarray     # (n_triplets,)
+    # device copies of the coarse pattern's cols/valid (leaves, NOT baked
+    # constants: fine-level coarse patterns reach ~10M entries)
+    coarse_cols: Optional[jnp.ndarray] = None
+    coarse_valid: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
-        return (self.src, self.dst, self.coeff), (self.coarse_pattern,)
+        return ((self.src, self.dst, self.coeff, self.coarse_cols,
+                 self.coarse_valid), (self.coarse_pattern,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -158,7 +163,9 @@ def build_ptap_schedule(fine_pattern: EllPattern, P: sp.csr_matrix,
     return PtAPSchedule(cpat,
                         jnp.asarray(src),
                         jnp.asarray(dst),
-                        jnp.asarray(coeff[order].astype(dtype)))
+                        jnp.asarray(coeff[order].astype(dtype)),
+                        jnp.asarray(cpat.cols),
+                        jnp.asarray(cpat.valid))
 
 
 def op_pair_from_scipy(P: sp.csr_matrix, dtype=None) -> Tuple[SparseOp, SparseOp]:

@@ -62,20 +62,19 @@ def build_halo_plan(pattern: EllPattern, n_shards: int) -> HaloPlan:
             send_idx[t, s, :len(g)] = g - t * R        # t sends to s
             ghost_pos[(s, t)] = {int(c): k for k, c in enumerate(g)}
     # remap columns to local frame: own -> [0, R); ghost from t -> R + t*m + k
+    # (vectorized: ghost lists are sorted-unique, so position = searchsorted)
     cols_local = np.empty_like(cols)
     for s in range(n_shards):
         blk = cols[s * R:(s + 1) * R]
         own = blk - s * R
         out = np.where((blk >= s * R) & (blk < (s + 1) * R), own, 0)
         for t in range(n_shards):
-            if t == s:
+            if t == s or need[s][t] is None or len(need[s][t]) == 0:
                 continue
             sel = (blk // R) == t
             if not sel.any():
                 continue
-            gp = ghost_pos[(s, t)]
-            mapped = np.vectorize(lambda c: gp[int(c)])(blk[sel])
-            out[sel] = R + t * m + mapped
+            out[sel] = R + t * m + np.searchsorted(need[s][t], blk[sel])
         cols_local[s * R:(s + 1) * R] = out
     return HaloPlan(n_shards, R, m, send_idx, cols_local.astype(np.int32), n)
 

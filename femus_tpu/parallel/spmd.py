@@ -42,22 +42,71 @@ def shard_rows(mesh: Mesh, axis: str = "mesh"):
     return NamedSharding(mesh, P(axis))
 
 
+class _HaloOp:
+    """SparseOp facade whose matvec is the explicit halo-exchange SpMV
+    (ppermute/all_to_all plan) instead of the XLA-partitioned gather —
+    routes every Krylov/smoother matvec in the sharded step through the
+    static communication schedule (SURVEY.md §2.4 ghost-exchange row)."""
+
+    def __init__(self, A, mv: Callable):
+        self._A = A
+        self.mv = mv
+        self.data = A.data
+        self.cols = A.cols
+        self.n_cols = A.n_cols
+
+    @property
+    def n_rows(self):
+        return self._A.n_rows
+
+    @property
+    def width(self):
+        return self._A.width
+
+    def matvec(self, x):
+        return self.mv(x)
+
+    def __matmul__(self, x):
+        return self.mv(x)
+
+    def diagonal(self):
+        return self._A.diagonal()
+
+    def to_dense(self):
+        return self._A.to_dense()
+
+
 def make_sharded_step(assembler: Assembler, mesh: Mesh,
                       transfers: Sequence = (),
                       dir_masks: Sequence = (),
                       outer: str = "gmres", rtol: float = 1e-8,
                       restart: int = 30, max_outer: int = 10,
                       smoother: str = "jacobi",
-                      aux_scalars: Optional[dict] = None) -> Callable:
+                      aux_scalars: Optional[dict] = None,
+                      use_halo: bool = True) -> Callable:
     """One jitted Newton/linear step with row/element sharding constraints.
 
     Returns step(u) -> (u_new, residual_norm); ``u`` is the padded stacked
     dof vector, sharded over the mesh axis.
+
+    use_halo=True routes the FINE operator's SpMV (Krylov + fine smoother)
+    through the explicit halo plan (halo.py): one padded all_to_all ships
+    exactly the ghost dofs, instead of the XLA partitioner's all-gather of
+    the full vector per gather.  Falls back automatically when the padded
+    row count does not divide the mesh axis.
     """
     assemble = assembler.make_assemble_fn()
     vec_sh = NamedSharding(mesh, P("mesh"))
     row_sh = NamedSharding(mesh, P("mesh", None))
     scalars = dict(aux_scalars or {})
+    axis = mesh.axis_names[0]
+    n_shards = mesh.shape[axis]
+
+    halo_spmv = None
+    if use_halo and assembler.pattern.n_rows % n_shards == 0 and n_shards > 1:
+        from .halo import build_halo_plan, make_halo_spmv
+        plan = build_halo_plan(assembler.pattern, n_shards)
+        halo_spmv, _ = make_halo_spmv(plan, mesh, axis)
 
     def step(u):
         u = jax.lax.with_sharding_constraint(u, vec_sh)
@@ -65,6 +114,8 @@ def make_sharded_step(assembler: Assembler, mesh: Mesh,
         R = jax.lax.with_sharding_constraint(R, vec_sh)
         data = jax.lax.with_sharding_constraint(data, row_sh)
         A = assembler.op_with(data)
+        if halo_spmv is not None:
+            A = _HaloOp(A, lambda x: halo_spmv(data, x))
         if transfers:
             h = build_hierarchy(A, list(transfers), smoother=smoother,
                                 dir_masks=list(dir_masks))

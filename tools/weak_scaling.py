@@ -1,0 +1,88 @@
+"""Weak-scaling measurement of the halo-plan SpMV on virtual CPU devices
+(BASELINE.md: ">=80% weak-scaling efficiency of nnz/s at N hosts").
+
+No-cluster proxy: the N virtual devices SHARE the same physical cores, so
+the ideal weak-scaling signature is *flat total throughput* as the problem
+grows Nx with the shard count (any drop below 1.0 is pure communication/
+imbalance overhead of the halo plan — the quantity that would multiply real
+chips).  efficiency_8 = total nnz/s at S=8 (8x problem) / S=1.
+
+    python tools/weak_scaling.py
+"""
+import json
+import os
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from femus_tpu.assembly.bc import generate_bdc
+from femus_tpu.assembly.engine import Assembler, Unknown
+from femus_tpu.assembly.forms import poisson
+from femus_tpu.mesh.generation import box
+from femus_tpu.parallel.halo import build_halo_plan, make_halo_spmv
+
+
+def bench_shards(S: int, n_per_shard: int = 48):
+    """n_per_shard^2 quad cells per shard, domain grows with S."""
+    m = box((n_per_shard * S, n_per_shard), [(0, S), (0, 1)], "quad")
+    asm = Assembler(m, [Unknown("u", "biquadratic")], quad_order="fifth",
+                    pad_dofs_to=S, pad_elems_to=S)
+    asm.set_volume_form(poisson("u", "biquadratic"))
+    generate_bdc(asm, lambda var, x, grp, t: (True, 0.0))
+    assemble = jax.jit(asm.make_assemble_fn(pass_tables=True))
+    _, data = assemble(jnp.zeros(asm.n_dofs_pad), asm.device_tables())
+    devs = jax.devices()[:S]
+    mesh = Mesh(np.array(devs), ("mesh",))
+    sh = NamedSharding(mesh, P("mesh"))
+    plan = build_halo_plan(asm.pattern, S)
+    spmv, _ = make_halo_spmv(plan, mesh, "mesh")
+    x = jax.device_put(jnp.ones(asm.n_dofs_pad), sh)
+    data = jax.device_put(data, NamedSharding(mesh, P("mesh", None)))
+
+    def sweep(d, x, iters):
+        def body(v, _):
+            w = spmv(d, v)
+            return w / jnp.max(jnp.abs(w)), None
+        y, _ = jax.lax.scan(body, x, None, length=iters)
+        return y[:1]
+
+    def run(iters):
+        f = jax.jit(lambda d, x: sweep(d, x, iters))
+        np.asarray(f(data, x))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(data, x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t = (run(60) - run(10)) / 50
+    return asm.pattern.nnz / t
+
+
+def main():
+    out = {"metric": "halo_spmv_weak_scaling", "unit": "Gnnz/s"}
+    base = None
+    for S in (1, 2, 4, 8):
+        r = bench_shards(S)
+        out[f"S{S}_gnnz_s"] = round(r / 1e9, 3)
+        if S == 1:
+            base = r
+    out["efficiency_8"] = round(out["S8_gnnz_s"] / out["S1_gnnz_s"], 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
