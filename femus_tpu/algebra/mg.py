@@ -160,6 +160,48 @@ def build_hierarchy_matfree(fine_mv: Callable, fine_diag: jnp.ndarray,
     return h
 
 
+def build_hierarchy_from_ops(ops: Sequence[SparseOp],
+                             pr_pairs: Sequence,
+                             smoother: str = "chebyshev",
+                             n_pre: int = 2, n_post: int = 2,
+                             jacobi_omega: float = 0.8, cheb_degree: int = 3,
+                             vanka_blocks: Optional[Sequence] = None,
+                             vanka_omega: float = 0.9,
+                             compute_dtype=None) -> MGHierarchy:
+    """Hierarchy from EXPLICIT per-level operators (coarsest first) —
+    the non-Galerkin / rediscretized-coarse mode: each level's operator is
+    assembled on its own mesh instead of PtAP-chained from the finest.
+    This is the working analogue of the reference's FSI-specific restriction
+    (MonolithicFSINonLinearImplicitSystem.hpp:83-101): chained Galerkin
+    triple products pollute the FSI operator's mixed ALE/kinematic rows,
+    while per-level re-assembly keeps every operator consistent.
+    ``pr_pairs[l]`` = (P, R) connecting level l to l+1."""
+    n_levels = len(ops)
+    levels = []
+    for l in range(n_levels):
+        A = ops[l]
+        if compute_dtype is not None:
+            A = SparseOp(A.data.astype(compute_dtype), A.cols, A.n_cols)
+        diag = A.diagonal()
+        safe = jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
+        if (smoother == "vanka" and vanka_blocks is not None
+                and vanka_blocks[l] is not None):
+            from .vanka import vanka_smoother
+            sm = vanka_smoother(A, vanka_blocks[l], omega=vanka_omega)
+        elif smoother == "jacobi":
+            sm = jacobi_smoother(A.matvec, safe, jacobi_omega, iters=1)
+        else:
+            lam = power_lambda_max(A.matvec, 1.0 / safe, A.n_rows)
+            sm = chebyshev_smoother(A.matvec, safe, lam, degree=cheb_degree)
+        P = R = None
+        if l > 0:
+            P, R = pr_pairs[l - 1][0], pr_pairs[l - 1][1]
+        levels.append(MGLevel(A, P, R, sm))
+    h = MGHierarchy(levels, n_pre, n_post, compute_dtype=compute_dtype)
+    h.setup_coarse()
+    return h
+
+
 def apply_dirichlet_identity(op: SparseOp, valid, mask) -> SparseOp:
     """Zero rows/cols at masked dofs and put 1 on their diagonal (symmetric
     elimination, matching assembly/engine.py)."""
@@ -179,7 +221,8 @@ def build_hierarchy(fine_op: SparseOp,
                     dir_masks: Optional[Sequence] = None,
                     vanka_blocks: Optional[Sequence] = None,
                     vanka_omega: float = 0.9,
-                    compute_dtype=None) -> MGHierarchy:
+                    compute_dtype=None,
+                    coarse_dense_max: Optional[int] = None) -> MGHierarchy:
     """Construct the hierarchy from the finest assembled op via PtAP chain.
 
     transfers[i] connects level i (coarse) to level i+1 (fine); the finest
@@ -233,7 +276,8 @@ def build_hierarchy(fine_op: SparseOp,
             P, R = P_ops[l - 1], R_ops[l - 1]
         levels.append(MGLevel(A, P, R, sm))
     h = MGHierarchy(levels, n_pre, n_post, compute_dtype=compute_dtype)
-    h.setup_coarse()
+    if coarse_dense_max is None or levels[0].A.n_rows <= coarse_dense_max:
+        h.setup_coarse()          # else: coarse solve = repeated smoothing
     if compute_dtype is not None and h.coarse_dense is not None:
         # bf16 dense solves are unsupported/inaccurate; fp32 minimum
         cd = (jnp.float32 if compute_dtype == jnp.bfloat16 else compute_dtype)

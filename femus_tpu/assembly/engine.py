@@ -761,8 +761,15 @@ class Assembler:
                     aux.update(aux_named)
                     aux["group"] = tables["elem_group"]
                     out = self.volume_form(ops, uu, aux)
-                    return jnp.concatenate(
-                        [out[un.name] for un in self.unknowns])
+                    parts = []
+                    for un in self.unknowns:
+                        r = out.get(un.name)
+                        if r is None:     # forms may omit rows (zeros)
+                            sl = self.local_slices[un.name]
+                            r = jnp.zeros((sl.stop - sl.start,
+                                           ulT.shape[1]), self.dtype)
+                        parts.append(r)
+                    return jnp.concatenate(parts)
 
                 u_locT = u_loc.T                          # (ndt, ne)
                 rT, lin = jax.linearize(all_elems, u_locT)
@@ -941,8 +948,15 @@ class Assembler:
                     aux.update(aux_named)
                     aux["group"] = tables["elem_group"]
                     out = self.volume_form(ops, uu, aux)
-                    return jnp.concatenate(
-                        [out[un.name] for un in self.unknowns])
+                    parts = []
+                    for un in self.unknowns:
+                        r = out.get(un.name)
+                        if r is None:
+                            sl = self.local_slices[un.name]
+                            r = jnp.zeros((sl.stop - sl.start,
+                                           ulT.shape[1]), self.dtype)
+                        parts.append(r)
+                    return jnp.concatenate(parts)
 
                 _, lin = jax.linearize(all_elems, u_loc.T)
                 eye = jnp.eye(self.ndt, dtype=self.dtype)

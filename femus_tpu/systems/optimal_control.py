@@ -60,6 +60,84 @@ def elliptic_control_form(state: str = "y", adj: str = "l", ctrl: str = "u",
     return form
 
 
+def boundary_control_forms(state: str = "y", adj: str = "l", ctrl: str = "u",
+                           family: str = "biquadratic",
+                           y_target: Callable = None,
+                           alpha: float = 1e-3, kappa: float = 1.0,
+                           control_groups=(), obs_groups=None,
+                           boundary_target: Optional[Callable] = None,
+                           rhs: Optional[Callable] = None):
+    """Neumann BOUNDARY control (reference 00_cost_functional.hpp:27-53
+    boundary target/regularization integrals; 010_OptimalControl Neumann
+    variants):
+
+        min 1/2||y - y_d||^2_Omega [+ 1/2||y - y_db||^2_Gobs]
+            + alpha/2 ||u||^2_{L2(Gc)}
+        s.t. -div(kappa grad y) = f,   kappa dy/dn = u on Gc.
+
+    KKT rows: state/adjoint volume rows as in the distributed case minus
+    the volume control source; face rows on the control groups inject the
+    Neumann control into the state equation and impose the boundary
+    gradient condition alpha u - l = 0 on Gc.  The control variable only
+    carries meaning on Gc — eliminate its interior dofs with
+    :func:`fix_interior_control`.
+
+    Returns (volume_form, face_form) for ``System.set_assembly``.
+    """
+
+    def vol(ops, u, aux):
+        gy = ops.grad(family, u[state])
+        gl = ops.grad(family, u[adj])
+        yq = ops.value(family, u[state])
+        yd = ops.pointwise(y_target)
+        out = {}
+        r_state = kappa * ops.tgrad(family, gy)
+        if rhs is not None:
+            r_state = r_state - ops.t(family, ops.pointwise(rhs))
+        out[state] = r_state
+        out[adj] = kappa * ops.tgrad(family, gl) + ops.t(family, yq - yd)
+        return out
+
+    def face(fops, u, fams, grp, aux):
+        uq = fops.value(family, u[ctrl])
+        lq = fops.value(family, u[adj])
+        sel = sum((grp == g).astype(uq.dtype) for g in control_groups)
+        out = {state: -fops.t(family, uq * sel),
+               ctrl: fops.t(family, (alpha * uq - lq) * sel)}
+        if obs_groups and boundary_target is not None:
+            yq = fops.value(family, u[state])
+            ydb = boundary_target(fops.x)
+            selo = sum((grp == g).astype(uq.dtype) for g in obs_groups)
+            out[adj] = fops.t(family, (yq - ydb) * selo)
+        return out
+
+    return vol, face
+
+
+def fix_interior_control(system, ctrl: str, control_groups,
+                         level: int = -1) -> None:
+    """Dirichlet-eliminate control dofs NOT on the control boundary (they
+    carry no equation in the boundary-control KKT system) on every level."""
+    for l, a in enumerate(system.assemblers):
+        mesh = a.mesh
+        dm = a.dofmaps[ctrl]
+        on_gc = np.zeros(dm.n_dofs, bool)
+        for bf in mesh.boundary.values():
+            for r in range(len(bf.elem)):
+                if int(bf.group[r]) in control_groups:
+                    d = dm.node_to_dof[bf.conn[r]]
+                    on_gc[d[d >= 0]] = True
+        mask = a.dirichlet_mask.copy()
+        vals = a.dirichlet_values.copy()
+        off = a.offsets[ctrl]
+        mask[off:off + dm.n_dofs][~on_gc] = True
+        vals[off:off + dm.n_dofs][~on_gc] = 0.0
+        a.set_dirichlet(mask, vals)
+        system.masks[l] = a.dirichlet_mask
+    system._transfer_cache.clear()
+    system._step_fns.clear()
+
+
 def cost_functional(mesh, family: str, y, u, y_target: Callable,
                     alpha: float, beta: float = 0.0,
                     quad_order="ninth") -> float:

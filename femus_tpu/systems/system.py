@@ -59,6 +59,21 @@ class SolverConfig:
     # fine ELL data materialized), Chebyshev on a scatter-assembled diagonal,
     # first coarse level re-assembled on its own mesh at the restricted state
     operator: str = "assembled"
+    # coarse operators inside the V-cycle: "galerkin" = PtAP chain from the
+    # fine Jacobian (reference matrix_PtAP); "rediscretize" = re-assemble
+    # each coarse level on its own mesh at the restricted state — the
+    # working analogue of the reference's FSI-specific non-Galerkin
+    # restriction (MonolithicFSINonLinearImplicitSystem.hpp:83-101): on
+    # monolithic FSI, chained PtAP pollutes the mixed ALE/kinematic rows
+    coarse_op: str = "galerkin"
+    # cap on V-cycle depth: K = use only the top K mesh levels as the
+    # preconditioner hierarchy (0 = unlimited).  The truncated coarsest
+    # level is solved by repeated smoother sweeps when too large for the
+    # dense direct solve (reference PCMG with fewer levels than meshes)
+    max_mg_levels: int = 0
+    # dofs above which the (possibly truncated) coarsest level of a V-cycle
+    # hierarchy uses smoother sweeps instead of a dense LU
+    coarse_dense_max_dofs: int = 20000
     # coarsest-level direct solve (reference PCMGGetCoarseSolve -> LU,
     # LinearEquationSolverPetsc.cpp:236-239); dofs below this threshold are
     # solved densely on-device instead of by preconditioned Krylov
@@ -231,15 +246,26 @@ class System:
         assemble = a.make_assemble_fn(pass_tables=True)
         cfg = self.config
         transfers = self._transfers_for(level) if (cfg.use_mg and level > 0) else []
-        dmasks = [jnp.asarray(m) for m in self.masks[:level]]
+        base = 0                       # coarsest mesh level in the hierarchy
+        if transfers and cfg.max_mg_levels and cfg.max_mg_levels >= 2:
+            base = max(0, level - (cfg.max_mg_levels - 1))
+            transfers = transfers[base:]
+        dmasks = [jnp.asarray(m) for m in self.masks[base:level]]
+
+        rediscretize = cfg.coarse_op == "rediscretize" and bool(transfers)
+        assert not (rediscretize and cfg.max_mg_levels), \
+            "rediscretize with truncated hierarchies is not wired up"
 
         vblocks = None
         if cfg.smoother == "vanka":
             from ..algebra.vanka import build_element_blocks
             if transfers:
                 vblocks = []
-                for l in range(level + 1):
-                    pat = (transfers[l][2].coarse_pattern if l < len(transfers)
+                for j, l in enumerate(range(base, level + 1)):
+                    # galerkin coarse ops live on the PtAP pattern;
+                    # rediscretized ones on each level's own assembler pattern
+                    pat = (transfers[j][2].coarse_pattern
+                           if (j < len(transfers) and not rediscretize)
                            else None)
                     vblocks.append(build_element_blocks(
                         self.assemblers[l], cfg.vanka_block_elems, pattern=pat,
@@ -261,25 +287,64 @@ class System:
             self._step_fns[level] = run
             return run
 
+        # rediscretized coarse side: per-level assemble fns + state
+        # restriction chain (u_{l} = (P^T u_{l+1}) / (P^T 1), unmasked P)
+        coarse_assemble = rsol_chain = None
+        if rediscretize:
+            coarse_assemble = [self.assemblers[l].make_assemble_fn(
+                pass_tables=True) for l in range(level)]
+            rsol_chain = []
+            for l in range(level):
+                P_sol = block_diag_prolongation(self.ml_mesh.levels[l],
+                                                self.ml_mesh.levels[l + 1],
+                                                self.unknowns)
+                _, Rsol = op_pair_from_scipy(P_sol.tocsr())
+                w = np.asarray(P_sol.sum(axis=0)).ravel()
+                winv = jnp.asarray(np.where(np.abs(w) > 1e-14,
+                                            1.0 / np.maximum(np.abs(w), 1e-14),
+                                            0.0))
+                rsol_chain.append((Rsol, winv))
+
         # transfers (PtAP schedules, P/R operators), Vanka block tables, and
         # Dirichlet masks are passed through jit as ARGUMENTS (pytrees) —
         # baked-in constants of their size (tens of M entries on fine
         # levels) stall XLA constant folding for minutes per compile
         def step(u, tables, aux_fields, aux_scalars, transfers_a, dmasks_a,
-                 vblocks_a):
+                 vblocks_a, ctables_a, caux_a, rsol_a):
             R, data = assemble(u, tables, aux_fields, aux_scalars)
             A = a.op_with(data)
             if coarse_direct:
                 delta = jnp.linalg.solve(A.to_dense(), -R)
                 res = jnp.linalg.norm(R + A @ delta)
                 return u + delta, delta, res, jnp.array(1)
-            if transfers:
+            if transfers and rediscretize:
+                from ..algebra.mg import build_hierarchy_from_ops
+                ops = [None] * (level + 1)
+                ops[level] = A
+                u_l = u
+                for l in range(level - 1, -1, -1):
+                    Rsol_l, winv_l = rsol_a[l]
+                    u_c0 = (Rsol_l @ u_l[:Rsol_l.n_cols]) * winv_l
+                    a_c = self.assemblers[l]
+                    u_l = (jnp.zeros(a_c.n_dofs_pad, u.dtype)
+                           .at[:u_c0.shape[0]].set(u_c0))
+                    _, data_l = coarse_assemble[l](u_l, ctables_a[l],
+                                                   caux_a[l], aux_scalars)
+                    ops[l] = a_c.op_with(data_l)
+                pr = [(t[0], t[1]) for t in transfers_a]
+                h = build_hierarchy_from_ops(
+                    ops, pr, smoother=cfg.smoother, n_pre=cfg.n_pre,
+                    n_post=cfg.n_post, cheb_degree=cfg.cheb_degree,
+                    vanka_blocks=vblocks_a, vanka_omega=cfg.vanka_omega)
+                M = h.as_preconditioner("V")
+            elif transfers:
                 h = build_hierarchy(A, transfers_a, smoother=cfg.smoother,
                                     n_pre=cfg.n_pre, n_post=cfg.n_post,
                                     cheb_degree=cfg.cheb_degree,
                                     dir_masks=dmasks_a,
                                     vanka_blocks=vblocks_a,
-                                    vanka_omega=cfg.vanka_omega)
+                                    vanka_omega=cfg.vanka_omega,
+                                    coarse_dense_max=cfg.coarse_dense_max_dofs)
                 M = h.as_preconditioner("V")
             elif cfg.smoother == "vanka":
                 from ..algebra.vanka import vanka_smoother
@@ -301,8 +366,14 @@ class System:
         jitted = jax.jit(step)
 
         def run(u, tables, aux_fields, aux_scalars):
+            if rediscretize:
+                ctables = [self.assemblers[l].device_tables_cached()
+                           for l in range(level)]
+                caux = [self._aux_arrays(l) for l in range(level)]
+            else:
+                ctables = caux = None
             return jitted(u, tables, aux_fields, aux_scalars, transfers,
-                          dmasks, vblocks)
+                          dmasks, vblocks, ctables, caux, rsol_chain)
 
         self._step_fns[level] = run
         return run
