@@ -34,7 +34,15 @@ def prolongation_scipy(coarse_mesh, fine_mesh, family: str) -> sp.csr_matrix:
     ne = fine_mesh.n_elems
     rows = np.repeat(dmf.conn, ndc, axis=1).ravel()
     cols = np.tile(dmc.conn[fine_mesh.parent_elem], (1, ndf)).ravel()
-    vals = blocks[fine_mesh.child_slot].transpose(0, 1, 2).ravel()
+    # AMR meshes copy unrefined elements verbatim (child_slot = -1,
+    # mesh/amr.py refine_selective): their block is the identity — the
+    # content of the reference's _PPamr (LinearImplicitSystem.cpp:529-577)
+    slots = np.asarray(fine_mesh.child_slot)
+    if (slots < 0).any():
+        assert ndf == ndc
+        blocks = np.concatenate([blocks, np.eye(ndf)[None]], axis=0)
+        slots = np.where(slots < 0, blocks.shape[0] - 1, slots)
+    vals = blocks[slots].transpose(0, 1, 2).ravel()
     # conforming interpolation: duplicated (row, col) pairs agree — keep first
     keys = rows.astype(np.int64) * dmc.n_dofs + cols
     _, first = np.unique(keys, return_index=True)

@@ -22,7 +22,8 @@ import numpy as np
 import scipy.sparse as sp
 
 from ..algebra.krylov import cg
-from ..algebra.transfer import build_ptap_schedule, op_pair_from_scipy
+from ..algebra.transfer import (block_diag_prolongation,
+                                build_ptap_schedule, op_pair_from_scipy)
 from ..assembly.bc import apply_dirichlet_values, generate_bdc
 from ..assembly.engine import Assembler, Unknown
 from ..fe.basis import get_basis
@@ -228,3 +229,96 @@ def amr_loop(mesh: Mesh, unknowns: Sequence[Unknown], volume_form, bc_fn,
             break
         mesh = refine_selective(mesh, flags)
     return results
+
+
+def _reduced_system(mesh, unknowns, volume_form, bc_fn, quad_order="fifth",
+                    face_form=None):
+    """(assembler, C, free_idx, mask_f, reduced pattern+schedule) for one
+    AMR level — the hanging-constraint reduction of solve_conforming,
+    factored out so the MG-on-AMR hierarchy can build every level."""
+    asm = Assembler(mesh, list(unknowns), quad_order=quad_order)
+    asm.set_volume_form(volume_form)
+    if face_form is not None:
+        asm.set_face_form(face_form)
+    generate_bdc(asm, bc_fn)
+    blocks, frees = [], []
+    off = 0
+    for u in unknowns:
+        Cb, fb = hanging_constraints(mesh, u.family)
+        blocks.append(Cb)
+        frees.append(fb + off)
+        off += Cb.shape[0]
+    C = sp.block_diag(blocks, format="csr")
+    free_idx = np.concatenate(frees)
+    mask_f = np.asarray(asm.dirichlet_mask)[free_idx]
+    sched = build_ptap_schedule(asm.pattern, C)
+    return asm, C, free_idx, mask_f, sched
+
+
+def _reduced_op(asm, C, free_idx, mask_f, sched, u_all):
+    """Assemble at u_all and Galerkin-reduce by C with Dirichlet identity
+    restored on the reduced rows (same algebra as solve_conforming)."""
+    from ..algebra.sparse import op_from_pattern
+    assemble = asm.make_assemble_fn()
+    R, data = assemble(u_all)
+    Ardata = sched.apply(data)
+    cpat = sched.coarse_pattern
+    touched = (mask_f[:, None] | mask_f[cpat.cols]) & cpat.valid
+    diag_slot = (cpat.cols == np.arange(cpat.n_rows)[:, None]) & cpat.valid
+    setdiag = diag_slot & mask_f[:, None]
+    keep = np.where(touched & ~setdiag, 0.0, 1.0)
+    sd = jnp.asarray(setdiag.astype(Ardata.dtype))
+    Ardata = Ardata * jnp.asarray(keep) * (1 - sd) + sd
+    Cop, CTop = op_pair_from_scipy(C)
+    Rr = CTop @ R
+    Rr = jnp.where(jnp.asarray(mask_f), 0.0, Rr)
+    return op_from_pattern(cpat, Ardata), Rr, Cop
+
+
+def solve_mg_amr(meshes, unknowns, volume_form, bc_fn, quad_order="fifth",
+                 tol: float = 1e-10, maxiter: int = 200,
+                 n_pre: int = 2, n_post: int = 2):
+    """V-cycle-preconditioned CG ACROSS the AMR level chain (reference
+    MG-on-AMR: _PPamr/_RRamr fold the hanging constraints into the transfer
+    operators, LinearImplicitSystem.cpp:529-577; MGAMR app).
+
+    meshes: the AMR chain, coarsest (uniform) first, each produced by
+    refine_selective of the previous.  Every level assembles on its own
+    mesh and reduces by its own constraint operator; transfers between
+    reduced spaces are P_red = (P_amr @ C_coarse)[free_fine, :] — the
+    embedding prolongation (identity on copied elements) composed with the
+    coarse constraint interpolation.  Returns (u_all_fine, info).
+    """
+    levels = [_reduced_system(m, unknowns, volume_form, bc_fn, quad_order)
+              for m in meshes]
+    ops, rhs = [], None
+    Cop_f = None
+    for li, (asm, C, free_idx, mask_f, sched) in enumerate(levels):
+        u0 = np.asarray(apply_dirichlet_values(asm, np.zeros(asm.n_dofs)))
+        u0 = jnp.asarray(C @ u0[free_idx])
+        A_r, R_r, Cop = _reduced_op(asm, C, free_idx, mask_f, sched,
+                                    u0)
+        ops.append(A_r)
+        if li == len(levels) - 1:
+            rhs, Cop_f, u0_f = R_r, Cop, u0
+    pr_pairs = []
+    for l in range(len(meshes) - 1):
+        asm_c, C_c, free_c, mfc, _ = levels[l]
+        asm_f, C_f, free_f, mff, _ = levels[l + 1]
+        P_all = block_diag_prolongation(meshes[l], meshes[l + 1], unknowns)
+        P_red = (P_all @ C_c).tocsr()[free_f, :].tolil()
+        P_red[mff, :] = 0.0
+        P_red[:, mfc] = 0.0
+        Pm = P_red.tocsr()
+        Pm.eliminate_zeros()
+        pr_pairs.append(op_pair_from_scipy(Pm))
+    from ..algebra.mg import build_hierarchy_from_ops
+    h = build_hierarchy_from_ops(ops, pr_pairs, smoother="chebyshev",
+                                 n_pre=n_pre, n_post=n_post)
+    M = h.as_preconditioner("V")
+    A = ops[-1]
+    delta, si = cg(lambda x: A @ x, -rhs, M=M, tol=tol, maxiter=maxiter)
+    asm, C, free_idx, mask_f, sched = levels[-1]
+    u = np.asarray(u0_f + (Cop_f @ delta))
+    return u, {"iterations": int(si.iters), "residual": float(si.residual),
+               "n_levels": len(meshes)}
