@@ -186,3 +186,53 @@ def smark_dof_field(asm: Assembler, mesh) -> np.ndarray:
 def var_norm(asm: Assembler, u: np.ndarray, name: str) -> float:
     off, n = asm.offsets[name], asm.dofmaps[name].n_dofs
     return float(np.linalg.norm(u[off:off + n]))
+
+
+def make_fsi_system(levels: int = 4, smoother: str = "vanka",
+                    rtol: float = 1e-8):
+    """The testFSISteady drive through the framework's OWN solver stack
+    (reference main.cpp:100-146: F-cycle Newton over a ``levels``-deep
+    uniformly refined hierarchy of fsifirst.neu, each linear solve an
+    MG-preconditioned GMRES with material-split Vanka (ASM) smoothers —
+    MonolithicFSINonLinearImplicitSystem + MeshASMPartitioning
+    block_type_range — and a dense coarse solve).  No external
+    factorization anywhere.
+
+    Returns (problem, system); ``system.solve()`` runs the full F-cycle
+    ratchet and records per-step GMRES counts in ``system.history``.
+    """
+    from ..mesh.multilevel import MultiLevelMesh
+    from ..systems.fsi import MonolithicFSISystem
+    from ..systems.problem import MultiLevelProblem
+    from ..systems.solution import MultiLevelSolution
+
+    ml_mesh = MultiLevelMesh(read_neu(MESH), levels)
+    ml_sol = MultiLevelSolution(ml_mesh)
+    for v in ("DX", "DY", "U", "V"):
+        ml_sol.add_solution(v, "biquadratic")
+    ml_sol.add_solution("P", "disc_linear")
+    ml_sol.add_solution("smark", "biquadratic")   # solid-node flag aux field
+    for v in ("DX", "DY", "U", "V", "P", "smark"):
+        ml_sol.initialize(v)
+    for l, mesh in enumerate(ml_mesh.levels):
+        dm = mesh.dofmap("biquadratic")
+        ml_sol.sol[l]["smark"][:] = solid_mark(mesh)[dm.nodes]
+    ml_sol.attach_bc(bc_fsi)
+    ml_sol.generate_bdc("DX", "DY", "U", "V", "P")
+    prob = MultiLevelProblem(ml_mesh, ml_sol, quad_order="fifth")
+    sys_ = prob.add_system(MonolithicFSISystem, "FSI")
+    sys_.add_unknown("DX", "DY", "U", "V", "P")
+    sys_.add_aux_field("smark")
+    sys_.set_assembly(fsi_form)
+    cfg = sys_.config
+    cfg.smoother = smoother
+    cfg.vanka_groups = "material"
+    cfg.mg_type = "F"
+    cfg.use_mg = True
+    cfg.rtol = rtol
+    cfg.restart = 60
+    cfg.max_outer = 20
+    cfg.nonlinear_tol = 1e-9
+    cfg.max_nonlinear = 15
+    sys_.init()
+    return prob, sys_

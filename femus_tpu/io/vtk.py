@@ -126,6 +126,43 @@ def write_pvtu(path: str, piece_files: Sequence[str],
     return path
 
 
+def write_parallel(prefix: str, mesh, elem_shard: np.ndarray,
+                   point_data: Optional[Dict[str, np.ndarray]] = None,
+                   cell_data: Optional[Dict[str, np.ndarray]] = None,
+                   order: str = "biquadratic") -> str:
+    """Per-shard ``<prefix>_<s>.vtu`` pieces + master ``<prefix>.pvtu``.
+
+    The reference writes one .vtu per MPI rank plus a master .pvtu from
+    proc 0 (VTKWriter.cpp:459-500); here the decomposition comes from the
+    device-mesh partition (``parallel.partition.partition_mesh`` elem_shard,
+    the analogue of the rank-major element ranges).  Interface nodes shared
+    by two shards are duplicated into each piece (GhostLevel=0, standard
+    VTK practice).  Returns the .pvtu path.
+    """
+    import types as _types
+
+    elem_shard = np.asarray(elem_shard)
+    shards = np.unique(elem_shard)
+    pieces = []
+    for s in shards:
+        sel = elem_shard == s
+        conn_s = mesh.conn[sel]
+        nodes, conn_local = np.unique(conn_s, return_inverse=True)
+        piece = _types.SimpleNamespace(
+            geom=mesh.geom, dim=mesh.dim,
+            coords=mesh.coords[nodes],
+            conn=conn_local.reshape(conn_s.shape).astype(np.int32),
+            n_nodes=len(nodes), n_elems=int(sel.sum()))
+        pd = ({k: np.asarray(v)[nodes] for k, v in point_data.items()}
+              if point_data else None)
+        cd = ({k: np.asarray(v)[sel] for k, v in cell_data.items()}
+              if cell_data else None)
+        pieces.append(write_vtu(f"{prefix}_{int(s):04d}.vtu", piece,
+                                pd, cd, order=order))
+    return write_pvtu(f"{prefix}.pvtu", pieces,
+                      list(point_data or {}))
+
+
 def nodal_field(mesh, family: str, dofs: np.ndarray) -> np.ndarray:
     """Lift a dof vector of any FE family to per-biquadratic-node values for
     output (lower-order Lagrange: interpolate; disc: paint element value)."""
