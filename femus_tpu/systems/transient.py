@@ -96,9 +96,16 @@ class _TransientMixin:
         return self.solve()
 
     def _refresh_bc(self):
-        """Push regenerated Bdc values into the assemblers (mask assumed
-        static; values may be time-dependent)."""
+        """Push regenerated Bdc values AND masks into the assemblers.
+
+        Time-dependent Dirichlet *values* flow through the assembler tables
+        (passed as jit args each step).  A Dirichlet mask that changes
+        mid-run (a BC switching type, reference UpdateBdc regenerating the
+        codes) additionally invalidates the cached jitted steps, which close
+        over the per-level elimination masks — the next time_step recompiles
+        against the new mask instead of silently keeping the old one."""
         from .solution import DIRICHLET
+        mask_changed = False
         for l, a in enumerate(self.assemblers):
             vals = np.zeros(a.n_dofs)
             mask = np.zeros(a.n_dofs, bool)
@@ -111,7 +118,12 @@ class _TransientMixin:
                 mask[off:off + len(codes)][sel] = True
                 vals[off:off + len(codes)][sel] = \
                     self.ml_sol.bdc_value[l][u.name][sel]
+            if not np.array_equal(mask, self.masks[l]):
+                self.masks[l] = mask
+                mask_changed = True
             a.set_dirichlet(mask, vals)
+        if mask_changed:
+            self._step_fns.clear()
             # write new Dirichlet values into the solution
             for u in self.unknowns:
                 codes = self.ml_sol.bdc[l].get(u.name)

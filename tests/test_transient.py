@@ -95,3 +95,48 @@ def test_irk_gauss2():
                         * jnp.sin(pi * x[:, 1]))
     # CN at this dt gives ~2e-4; Gauss-2 should sit at the spatial floor
     assert l2 < 5e-5, l2
+
+
+def test_time_switching_bc_mask():
+    """A Dirichlet wall that switches TYPE mid-run (Dirichlet -> natural at
+    t >= 0.05, reference UpdateBdc regenerating the Bdc codes each step):
+    the regenerated mask must reach the jitted step — the formerly pinned
+    boundary dofs start evolving after the switch instead of staying frozen."""
+    n, dt = 6, 0.01
+    ml_mesh = MultiLevelMesh(unit_box((n, n), "quad"), 1)
+    ml_sol = MultiLevelSolution(ml_mesh)
+    ml_sol.add_solution("u", "biquadratic", time_order=1)
+    ml_sol.initialize("u", lambda x: np.sin(pi * x[:, 0]) * np.sin(pi * x[:, 1]))
+
+    def bc(var, x, grp, t):
+        if np.isclose(x[0], 1.0) and t >= 0.05:
+            return False, 0.0            # right wall released (natural)
+        return True, 0.0
+
+    ml_sol.attach_bc(bc)
+    ml_sol.generate_bdc("u")
+    prob = MultiLevelProblem(ml_mesh, ml_sol, quad_order="fifth")
+    sys = prob.add_system(TransientLinearImplicitSystem, "Heat")
+    sys.add_unknown("u")
+    sys.set_assembly(theta_transient(poisson("u", "biquadratic"),
+                                     {"u": "biquadratic"}, theta=1.0))
+    sys.config.outer = "cg"
+    sys.config.use_mg = False
+    sys.config.rtol = 1e-12
+    sys.init_time(dt, time_dependent_bc=True)
+    sys.init()
+
+    mesh = prob.ml_mesh.finest()
+    dm = mesh.dofmap("biquadratic")
+    right = np.isclose(mesh.coords[dm.nodes, 0], 1.0)
+    interior_right = right & (mesh.coords[dm.nodes, 1] > 0.2) \
+        & (mesh.coords[dm.nodes, 1] < 0.8)
+
+    for _ in range(4):                               # t = 0.04: still pinned
+        sys.time_step()
+    assert np.abs(prob.ml_sol.sol[-1]["u"][right]).max() == 0.0
+    for _ in range(3):                               # through the switch
+        sys.time_step()
+    released = np.abs(prob.ml_sol.sol[-1]["u"][interior_right]).max()
+    assert released > 1e-4, released                 # wall now evolves
+    assert np.isfinite(prob.ml_sol.sol[-1]["u"]).all()
