@@ -1,0 +1,76 @@
+"""Debug aids (reference Assemble_jacobian.hpp:78-107 element printers +
+SparseMatrix matlab/viewer dumps): element Jacobian extraction, matrix
+MatrixMarket dump, per-iteration field dumper."""
+import numpy as np
+import jax.numpy as jnp
+
+from femus_tpu.assembly.bc import generate_bdc
+from femus_tpu.assembly.engine import Assembler, Unknown
+from femus_tpu.assembly.forms import poisson
+from femus_tpu.mesh.generation import unit_box
+from femus_tpu.utils.debug import (element_jacobian, op_to_scipy,
+                                   print_element_jacobian,
+                                   save_matrix_market)
+
+
+def _setup():
+    mesh = unit_box((3, 3), "quad")
+    asm = Assembler(mesh, [Unknown("u", "biquadratic")], quad_order="fifth")
+    asm.set_volume_form(poisson("u", "biquadratic"))
+    generate_bdc(asm, lambda var, x, grp, t: (True, 0.0))
+    assemble = asm.make_assemble_fn()
+    _, data = assemble(jnp.zeros(asm.n_dofs_pad))
+    return mesh, asm, data
+
+
+def test_element_jacobian_matches_global_assembly():
+    mesh, asm, data = _setup()
+    A = op_to_scipy(asm.pattern, data, asm.n_dofs).toarray()
+    # sum of per-element local Jacobians == assembled global matrix
+    # (before Dirichlet elimination the engine assembles raw rows only for
+    # non-Dirichlet dofs; use interior rows for the check)
+    S = np.zeros_like(A)
+    for e in range(mesh.n_elems):
+        r, J, edofs = element_jacobian(asm, np.zeros(asm.n_dofs_pad), e)
+        assert np.allclose(J, J.T, atol=1e-12)          # Laplacian symmetry
+        assert np.allclose(J.sum(axis=1), 0.0, atol=1e-10)  # constants
+        S[np.ix_(edofs, edofs)] += J
+    free = ~asm.dirichlet_mask[:asm.n_dofs]
+    assert np.allclose(S[np.ix_(free, free)], A[np.ix_(free, free)],
+                       atol=1e-10)
+
+
+def test_matrix_dump_and_printer(tmp_path, capsys):
+    _, asm, data = _setup()
+    save_matrix_market(str(tmp_path / "A.mtx"), asm.pattern, data, asm.n_dofs)
+    import scipy.io as sio
+    A2 = sio.mmread(str(tmp_path / "A.mtx")).toarray()
+    assert np.allclose(A2, op_to_scipy(asm.pattern, data, asm.n_dofs).toarray())
+    txt = print_element_jacobian(asm, np.zeros(asm.n_dofs_pad), 0)
+    assert "jacobian" in txt and "element 0" in txt
+
+
+def test_field_dumper(tmp_path):
+    from femus_tpu.mesh.multilevel import MultiLevelMesh
+    from femus_tpu.systems.problem import MultiLevelProblem
+    from femus_tpu.systems.solution import MultiLevelSolution
+    from femus_tpu.systems.system import LinearImplicitSystem
+    from femus_tpu.utils.debug import FieldDumper
+
+    ml_mesh = MultiLevelMesh(unit_box((3, 3), "quad"), 1)
+    ml_sol = MultiLevelSolution(ml_mesh)
+    ml_sol.add_solution("u", "biquadratic")
+    ml_sol.initialize("u", lambda x: x[:, 0])
+    ml_sol.attach_bc(lambda var, x, grp, t: (True, 0.0))
+    ml_sol.generate_bdc("u")
+    prob = MultiLevelProblem(ml_mesh, ml_sol, quad_order="fifth")
+    sys = prob.add_system(LinearImplicitSystem, "P")
+    sys.add_unknown("u")
+    sys.set_assembly(poisson("u", "biquadratic"))
+    sys.config.use_mg = False
+    sys.init()
+    d = FieldDumper(sys, str(tmp_path), "it")
+    p0 = d.dump()
+    p1 = d.dump()
+    assert p0.endswith("it.0000.vtu") and p1.endswith("it.0001.vtu")
+    assert (tmp_path / "it.0001.vtu").stat().st_size > 100
