@@ -71,48 +71,56 @@ def kelly_indicator(mesh: Mesh, family: str, u: np.ndarray,
     fphi = np.asarray(fbas.eval(qpts))                   # (nq, n_face_bq)
     fdphi = np.asarray(fbas.eval_grad(qpts))             # (nq, n_face_bq, dim-1)
 
-    for e1, f1, e2, f2 in zip(elems[p1], ifaces[p1], elems[p2], ifaces[p2]):
-        eta = _face_jump(mesh, b, dm, fam_local, u, int(e1), int(f1),
-                         int(e2), int(f2), qpts, qw, fphi, fdphi)
-        eta2[int(e1)] += 0.5 * eta
-        eta2[int(e2)] += 0.5 * eta
+    e1a, f1a, e2a, f2a = elems[p1], ifaces[p1], elems[p2], ifaces[p2]
+    g1, n1, dS1 = _side_batch(mesh, b, dm, fam_local, u, e1a, f1a, fphi, fdphi)
+    g2, _, _ = _side_batch(mesh, b, dm, fam_local, u, e2a, f2a, fphi, fdphi)
+    jump = np.einsum("mqx,mqx->mq", g1 - g2, n1)         # (m, nq)
+    h = dS1.sum(axis=1)                                  # ~ face measure
+    eta = h * np.einsum("q,mq,mq->m", qw, jump ** 2, dS1)
+    np.add.at(eta2, e1a, 0.5 * eta)
+    np.add.at(eta2, e2a, 0.5 * eta)
     return np.sqrt(eta2)
 
 
-def _face_jump(mesh, b, dm, fam_local, u, e1, f1, e2, f2, qpts, qw, fphi,
-               fdphi) -> float:
+def _side_batch(mesh, b, dm, fam_local, u, elems, ifaces, fphi, fdphi):
+    """Batched one-sided face-gradient evaluation: physical gradients,
+    outward-ish normals, and surface measure at face quadrature points for
+    every (element, local-face) pair at once — the vectorized replacement
+    for the per-pair Python loop (grouped by local face index, of which a
+    geom has at most 6)."""
     g = GEOMS[mesh.geom]
-
-    def side(e, fi):
-        fg, f_bq = g.faces[fi]
-        fnodes = mesh.conn[e][np.asarray(f_bq)]
-        # element ref coords of face quad points
-        xi = fphi @ g.ref_nodes[np.asarray(f_bq)]        # (nq, dim)
+    geo_b = get_basis(mesh.geom, "biquadratic")
+    m, nq = len(elems), fphi.shape[0]
+    dim = mesh.dim
+    gphys = np.zeros((m, nq, dim))
+    nrm_all = np.zeros((m, nq, dim))
+    dS_all = np.zeros((m, nq))
+    for fi in np.unique(ifaces):
+        sel = ifaces == fi
+        E = elems[sel]
+        fg, f_bq = g.faces[int(fi)]
+        f_bq = np.asarray(f_bq)
+        xi = fphi @ g.ref_nodes[f_bq]                    # (nq, dim)
         dphi_e = np.asarray(b.eval_grad(xi))             # (nq, nd, dim)
-        coords_e = mesh.coords[mesh.conn[e]]
-        J = np.einsum("qnd,nx->qxd", np.asarray(
-            get_basis(mesh.geom, "biquadratic").eval_grad(xi)), coords_e)
-        Jinv = np.linalg.inv(J)
-        dofs = u[dm.node_to_dof[mesh.conn[e][fam_local]]]
-        gref = np.einsum("qnd,n->qd", dphi_e, dofs)      # (nq, dim) ref grads
-        gphys = np.einsum("qxd,qd->qx", np.transpose(Jinv, (0, 2, 1)), gref)
-        # physical face tangents / area measure from face geometry
-        fcoords = mesh.coords[fnodes]                    # (n_face_bq, dim)
-        T = np.einsum("qnd,nx->qxd", fdphi, fcoords)     # (nq, dim, dim-1)
-        if T.shape[2] == 1:
-            dS = np.linalg.norm(T[:, :, 0], axis=1)
-            nrm = np.stack([T[:, 1, 0], -T[:, 0, 0]], axis=1)
+        geo_dphi = np.asarray(geo_b.eval_grad(xi))       # (nq, nd_geo, dim)
+        conn_E = mesh.conn[E]                            # (me, nd_geo)
+        coords_E = mesh.coords[conn_E]                   # (me, nd_geo, dim)
+        J = np.einsum("qnd,mnx->mqxd", geo_dphi, coords_E)
+        Jinv = np.linalg.inv(J)                          # (me, nq, d, x)
+        dofs_E = u[dm.node_to_dof[conn_E[:, fam_local]]]  # (me, nd)
+        gref = np.einsum("qnd,mn->mqd", dphi_e, dofs_E)
+        gphys[sel] = np.einsum("mqdx,mqd->mqx", Jinv, gref)
+        fcoords = mesh.coords[conn_E[:, f_bq]]           # (me, nfb, dim)
+        T = np.einsum("qns,mnx->mqxs", fdphi, fcoords)   # (me, nq, dim, dim-1)
+        if T.shape[3] == 1:
+            dS = np.linalg.norm(T[:, :, :, 0], axis=2)
+            nrm = np.stack([T[:, :, 1, 0], -T[:, :, 0, 0]], axis=2)
         else:
-            nrm = np.cross(T[:, :, 0], T[:, :, 1])
-            dS = np.linalg.norm(nrm, axis=1)
-        nrm = nrm / np.maximum(dS[:, None], 1e-300)
-        return gphys, nrm, dS
-
-    g1, n1, dS = side(e1, f1)
-    g2, _, _ = side(e2, f2)
-    jump = np.einsum("qx,qx->q", g1 - g2, n1)
-    h = float(dS.sum())                                  # ~ face measure
-    return float(h * np.sum(qw * jump ** 2 * dS))
+            nrm = np.cross(T[:, :, :, 0], T[:, :, :, 1])
+            dS = np.linalg.norm(nrm, axis=2)
+        nrm_all[sel] = nrm / np.maximum(dS[:, :, None], 1e-300)
+        dS_all[sel] = dS
+    return gphys, nrm_all, dS_all
 
 
 # ---------------------------------------------------------------------------
