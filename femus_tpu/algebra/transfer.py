@@ -97,12 +97,19 @@ class PtAPSchedule:
 
 
 def build_ptap_schedule(fine_pattern: EllPattern, P: sp.csr_matrix,
-                        dtype=np.float64) -> PtAPSchedule:
-    """Precompute the PtAP linear schedule for static fine pattern and P.
+                        dtype=np.float64,
+                        R: Optional[sp.spmatrix] = None) -> PtAPSchedule:
+    """Precompute the triple-product linear schedule for static patterns.
 
-    A_c[i, j] = sum_{k,l} P[k, i] A[k, l] P[l, j]: for every fine nnz (k, l)
-    and every (i in P-row k, j in P-row l) emit a triplet
-    (dst=slot_c(i,j), src=slot_f(k,l), coeff=P[k,i] * P[l,j]).
+    Default (R=None, Galerkin): A_c[i, j] = sum_{k,l} P[k, i] A[k, l] P[l, j]
+    — for every fine nnz (k, l) and every (i in P-row k, j in P-row l) emit
+    a triplet (dst=slot_c(i,j), src=slot_f(k,l), coeff=P[k,i] * P[l,j]).
+
+    With an explicit R (nc x nf), the general non-symmetric product
+    A_c = R A P (reference ``SparseMatrix::matrix_ABC``,
+    SparseMatrix.hpp:186, used for the FSI _RR restriction pairing,
+    MonolithicFSINonLinearImplicitSystem.hpp:83-101): the left factor draws
+    i from R-column k with coefficient R[i, k] instead of P[k, i].
     """
     # fine nnz list in ELL slot order
     counts_f = np.diff(fine_pattern.indptr)
@@ -115,11 +122,16 @@ def build_ptap_schedule(fine_pattern: EllPattern, P: sp.csr_matrix,
                           fine_pattern.indptr),
                          shape=(fine_pattern.n_rows, fine_pattern.n_cols))
     Pc = P.tocsr()
+    # left factor rows indexed by fine row k: Galerkin uses P itself
+    # (i, coeff) = (P-row k), the general ABC product uses R^T-row k
+    Lc = Pc if R is None else R.T.tocsr()
     # symbolic product with |P|: signed entries (disc_linear frame-change
     # blocks) can cancel exactly and punch holes in the coarse pattern
     Pabs = Pc.copy()
     Pabs.data = np.abs(Pabs.data)
-    C = (Pabs.T @ ones @ Pabs).tocsr()
+    Labs = Lc.copy()
+    Labs.data = np.abs(Labs.data)
+    C = (Labs.T @ ones @ Pabs).tocsr()
     C.sort_indices()
     coo = C.tocoo()
     # always include the diagonal so Dirichlet identity rows exist on coarse
