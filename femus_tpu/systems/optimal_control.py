@@ -152,6 +152,114 @@ def cost_functional(mesh, family: str, y, u, y_target: Callable,
     return 0.5 * mis ** 2 + 0.5 * alpha * ul2 ** 2 + 0.5 * beta * uh1 ** 2
 
 
+def assemble_constraint_vector(system, volume_form=None, face_form=None,
+                               level: int = -1) -> np.ndarray:
+    """Assemble the row/column vector B of a LINEAR functional constraint
+    g(x) = B . x (e.g. the zero-net-flux control constraint
+    int_Gc u . n dGamma of the reference's Dirichlet-control problems,
+    opt_systems_ns_dirichlet.hpp:995 "delta_theta row").
+
+    The form is written like any assembly form but must be independent of
+    the unknowns (it supplies coefficients against the TEST functions);
+    its residual at u = 0 is exactly B.  Dirichlet rows of the owning
+    system are zeroed (those dofs carry identity rows, not constraints).
+    """
+    from ..assembly.engine import Assembler
+
+    a_sys = system.assemblers[level]
+    b_asm = Assembler(a_sys.mesh, system.unknowns,
+                      quad_order=system.problem.quad_order)
+    if volume_form is not None:
+        b_asm.set_volume_form(volume_form)
+    else:
+        b_asm.set_volume_form(lambda ops, u, aux: {})
+    if face_form is not None:
+        b_asm.set_face_form(face_form)
+    fn = b_asm.make_assemble_fn(with_jacobian=False)
+    R, _ = fn(jnp.zeros(b_asm.n_dofs_pad))
+    B = np.zeros(a_sys.n_dofs_pad)
+    B[:b_asm.n_dofs_pad] = np.asarray(R)
+    B[a_sys.dirichlet_mask] = 0.0
+    return B
+
+
+class ScalarConstrainedSystem(NonLinearImplicitSystem):
+    """Newton solve with global SCALAR unknowns theta_j bordering the system.
+
+    Reference: the "theta" unknown of the Dirichlet-boundary-control
+    problems — a DISCONTINUOUS_POLYNOMIAL/ZERO field whose single real dof
+    is a Lagrange multiplier enforcing a scalar linear constraint
+    (zero net control flux), wired into the Jacobian as a dense bordered
+    row/column (opt_systems_ns_dirichlet.hpp:78-161 unknown registration,
+    :995-1012 delta_theta rows/cols, 00_cost_functional.hpp:27-43
+    get_theta_value).
+
+    TPU-native design: instead of a fake P0 field with one live dof and
+    identity filler rows, the bordered system
+
+        [A  B] [x    ]   [f]
+        [B' 0] [theta] = [g]
+
+    is solved by block elimination: each Newton step solves A with 1+k
+    right-hand sides through the SAME jitted MG-preconditioned Krylov step
+    (``extra_rhs``), then closes the k x k Schur complement (B' A^{-1} B)
+    on host.  theta is exact per step; x gets the constrained update.
+    """
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._constraints: list = []      # (name, B vector, rhs)
+        self.theta: Dict[str, float] = {}
+
+    def add_scalar_constraint(self, name: str, b: np.ndarray,
+                              rhs: float = 0.0) -> None:
+        self._constraints.append((name, np.asarray(b, float), float(rhs)))
+        self.theta[name] = 0.0
+
+    def get_theta_value(self, name: str = None) -> float:
+        """Reference get_theta_value (00_cost_functional.hpp:27-43)."""
+        if name is None:
+            name = self._constraints[0][0]
+        return self.theta[name]
+
+    def solve(self) -> Dict:
+        assert self._initialized, "call init() first"
+        assert self._constraints, "no scalar constraints added"
+        assert self.config.operator == "assembled", \
+            "bordered solve needs the assembled-operator path"
+        cfg = self.config
+        l = len(self.ml_mesh.levels) - 1
+        a = self.assemblers[l]
+        step = self.step_fn(l)
+        names = [c[0] for c in self._constraints]
+        B = jnp.asarray(np.stack([c[1] for c in self._constraints], axis=1))
+        g = np.array([c[2] for c in self._constraints])
+        history = []
+        for it in range(cfg.max_nonlinear):
+            u = jnp.asarray(self.gather(l))
+            u_new, delta, res, iters, D = step(
+                u, a.device_tables_cached(), self._aux_arrays(l),
+                self._aux_scalars_traced(), extra_rhs=B)
+            # Schur closure: theta+ = (B'D)^{-1} (B'(x + d1) - g)
+            Dn = np.asarray(D)
+            Bn = np.asarray(B)
+            S = Bn.T @ Dn
+            theta = np.linalg.solve(S, Bn.T @ np.asarray(u_new) - g)
+            x_new = np.asarray(u_new) - Dn @ theta
+            dx = x_new - np.asarray(u)
+            self.scatter(x_new, l)
+            self.theta = dict(zip(names, theta))
+            norms = self.eps_norms(dx, x_new, l)
+            worst = max(norms.values())
+            history.append({"level": l, "newton_it": it, "eps": norms,
+                            "theta": dict(self.theta),
+                            "lin_res": float(res), "lin_iters": int(iters)})
+            if worst < cfg.nonlinear_tol:
+                break
+        self.history = history
+        return history[-1] if history else {}
+
+
 class PDASControlSystem(NonLinearImplicitSystem):
     """Primal-dual active-set outer loop around the KKT solve.
 

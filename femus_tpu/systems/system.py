@@ -310,12 +310,16 @@ class System:
         # baked-in constants of their size (tens of M entries on fine
         # levels) stall XLA constant folding for minutes per compile
         def step(u, tables, aux_fields, aux_scalars, transfers_a, dmasks_a,
-                 vblocks_a, ctables_a, caux_a, rsol_a):
+                 vblocks_a, ctables_a, caux_a, rsol_a, extra_rhs):
             R, data = assemble(u, tables, aux_fields, aux_scalars)
             A = a.op_with(data)
             if coarse_direct:
-                delta = jnp.linalg.solve(A.to_dense(), -R)
+                Ad = A.to_dense()
+                delta = jnp.linalg.solve(Ad, -R)
                 res = jnp.linalg.norm(R + A @ delta)
+                if extra_rhs is not None:
+                    D = jnp.linalg.solve(Ad, extra_rhs)
+                    return u + delta, delta, res, jnp.array(1), D
                 return u + delta, delta, res, jnp.array(1)
             if transfers and rediscretize:
                 from ..algebra.mg import build_hierarchy_from_ops
@@ -355,17 +359,26 @@ class System:
                 dsafe = jnp.where(jnp.abs(d) < 1e-30, 1.0, d)
                 M = lambda r: r / dsafe
             if cfg.outer == "cg":
-                delta, info = cg(A.matvec, -R, M=M, tol=cfg.rtol, atol=cfg.atol,
-                                 maxiter=cfg.max_outer * cfg.restart)
+                solve1 = lambda b: cg(A.matvec, b, M=M, tol=cfg.rtol,
+                                      atol=cfg.atol,
+                                      maxiter=cfg.max_outer * cfg.restart)
             else:
-                delta, info = gmres(A.matvec, -R, M=M, tol=cfg.rtol,
-                                    atol=cfg.atol, restart=cfg.restart,
-                                    max_restarts=cfg.max_outer)
+                solve1 = lambda b: gmres(A.matvec, b, M=M, tol=cfg.rtol,
+                                         atol=cfg.atol, restart=cfg.restart,
+                                         max_restarts=cfg.max_outer)
+            delta, info = solve1(-R)
+            if extra_rhs is not None:
+                # bordered-system columns D = A^{-1} B (scalar global
+                # unknowns, reference "theta" rows/cols
+                # opt_systems_ns_dirichlet.hpp:995-1012)
+                D = jnp.stack([solve1(extra_rhs[:, j])[0]
+                               for j in range(extra_rhs.shape[1])], axis=1)
+                return u + delta, delta, info.residual, info.iters, D
             return u + delta, delta, info.residual, info.iters
 
-        jitted = jax.jit(step)
+        jitted = jax.jit(step, static_argnames=())
 
-        def run(u, tables, aux_fields, aux_scalars):
+        def run(u, tables, aux_fields, aux_scalars, extra_rhs=None):
             if rediscretize:
                 ctables = [self.assemblers[l].device_tables_cached()
                            for l in range(level)]
@@ -373,7 +386,8 @@ class System:
             else:
                 ctables = caux = None
             return jitted(u, tables, aux_fields, aux_scalars, transfers,
-                          dmasks, vblocks, ctables, caux, rsol_chain)
+                          dmasks, vblocks, ctables, caux, rsol_chain,
+                          extra_rhs)
 
         self._step_fns[level] = run
         return run
