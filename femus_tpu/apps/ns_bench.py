@@ -39,6 +39,13 @@ MESH = "/root/reference/unittests/testNSSteadyDD/input/nsbenc.neu"
 GOLD = {"U": 35.68179309424519, "V": 6.86749406268887,
         "P": 3.10222750612995, "T": 57.69748694700662}
 
+# self-golden: L2 norm of the level-3 temperature SOLVED in the converged
+# velocity field (the reference's stored T pins only the Bdc-initialized
+# field, see module docstring; this pins the actual coupled solve).
+# Computed by Newton + direct sparse LU to residual ~1e-16 (tools run,
+# 2026-08); any solver path must reproduce it.
+GOLD_SOLVED_T = 305.75558043932313
+
 IRE = 0.001   # 1/Re from Fluid(parameter, mu=0.001, rho=1) (main.cpp:228)
 IPE = 0.001   # 1/Pe = 1/(Pr*Re), Pr = cp*mu/k = 1 (Fluid.cpp:81)
 
@@ -122,6 +129,35 @@ def var_norm(asm: Assembler, u: np.ndarray, name: str) -> float:
 def bdc_initialized_T(asmT: Assembler, mesh) -> np.ndarray:
     """The level-3 T field of the reference run: zeros + Dirichlet values."""
     return apply_dirichlet_values(asmT, np.zeros(asmT.n_dofs))
+
+
+def make_temperature_system(prob, smoother: str = "vanka",
+                            rtol: float = 1e-10):
+    """Add the temperature system to an existing NS problem and solve it the
+    reference way: V_CYCLE = finest level only (LinearImplicitSystem.cpp:
+    300-311), advecting velocity read as aux fields from the NS solution.
+    """
+    from ..systems.system import LinearImplicitSystem
+
+    ml_sol = prob.ml_sol
+    ml_sol.add_solution("T", "biquadratic")
+    ml_sol.initialize("T")
+    ml_sol.attach_bc(bc_temperature)   # only applied to the names below
+    ml_sol.generate_bdc("T")
+    sysT = prob.add_system(LinearImplicitSystem, "Temperature")
+    sysT.add_unknown("T")
+    sysT.set_assembly(temperature_form)
+    sysT.add_aux_field("U")
+    sysT.add_aux_field("V")
+    cfg = sysT.config
+    cfg.smoother = smoother
+    cfg.mg_type = "V"              # finest level only, like the reference
+    cfg.use_mg = True
+    cfg.rtol = rtol
+    cfg.restart = 60
+    cfg.max_outer = 10
+    sysT.init()
+    return sysT
 
 
 def make_ns_system(levels: int = 4, smoother: str = "vanka",

@@ -37,3 +37,15 @@ def test_golden_ns_through_own_mg_solver():
     fin = [h for h in sys_.history if h["level"] == 3]
     assert max(fin[-1]["eps"].values()) < 1e-9
     assert len(fin) <= 6, [max(h["eps"].values()) for h in fin]
+
+    # --- temperature through the same solver stack -----------------------
+    # The reference's stored T norm pins only the Bdc-initialized field (see
+    # apps/ns_bench.py docstring); GOLD_SOLVED_T pins the actual coupled
+    # advection-diffusion solve in the converged velocity (direct-LU
+    # reference).  V_CYCLE = finest level only, MG(Vanka)-preconditioned
+    # GMRES, single linear solve.
+    sysT = ns_bench.make_temperature_system(prob)
+    outT = sysT.solve()
+    tn = float(np.linalg.norm(prob.ml_sol.sol[-1]["T"]))
+    assert tn == pytest.approx(ns_bench.GOLD_SOLVED_T, rel=1e-6)
+    assert outT["iters"] <= 15, outT
