@@ -100,6 +100,7 @@ def test_conforming_solve_matches_unrefined():
     assert l2_f < l2_c * 1.05
 
 
+@pytest.mark.slow
 def test_amr_loop_lshape_convergence():
     """Error-driven AMR on the corner singularity: L2 error must decrease
     monotonically and beat uniform refinement at comparable dof count."""

@@ -59,6 +59,7 @@ def _build(n=8):
     return prob, sys
 
 
+@pytest.mark.slow
 def test_boundary_control_kkt_matches_lu():
     prob, sys = _build()
     sys.solve()

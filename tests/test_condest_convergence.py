@@ -28,6 +28,7 @@ def test_condest_matches_dense_svd():
     assert abs(got - want) / want < 3e-3
 
 
+@pytest.mark.slow
 def test_convergence_harness_poisson():
     pi = np.pi
 

@@ -6,6 +6,7 @@ Dx = f(z) - z (Cauchy-Riemann defect V = W = 0), so the solver must
 reproduce the analytic map to discretization accuracy.
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -67,6 +68,7 @@ def _solve(n):
     return mesh, asm, u
 
 
+@pytest.mark.slow
 def test_conformal_holomorphic_map():
     errs = []
     for n in (4, 8):

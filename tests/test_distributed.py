@@ -19,6 +19,7 @@ import jax.numpy as jnp
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_jax_distributed_two_process_halo_spmv():
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)

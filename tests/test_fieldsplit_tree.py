@@ -57,6 +57,7 @@ def _solve(A, R, M, restart=50, max_restarts=8):
     return delta, int(info.iters), res
 
 
+@pytest.mark.slow
 def test_nested_schur_tree_beats_flat(cavity):
     asm, A, R = cavity
     # flat one-level Schur with Jacobi F-solve (round-1 capability)

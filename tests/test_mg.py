@@ -117,6 +117,7 @@ def test_mg_preconditioned_cg_poisson(smoother):
 
 
 @pytest.mark.parametrize("low", ["float32", "bfloat16"])
+@pytest.mark.slow
 def test_mixed_precision_vcycle(low):
     """Mixed precision (the TPU-first pattern): the V-cycle runs in fp32 or
     bf16 while the outer CG stays fp64 — final accuracy is unchanged and the

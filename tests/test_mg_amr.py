@@ -34,6 +34,7 @@ def bc(var, x, grp, t):
     return True, 0.0
 
 
+@pytest.mark.slow
 def test_mg_across_amr_levels():
     mesh = unit_box((4, 4), "quad")
     meshes = [mesh]

@@ -25,6 +25,7 @@ def test_operator_symmetric_and_psd():
     assert np.abs(A @ np.ones(A.shape[0])).max() < 1e-8 * np.abs(A).max()
 
 
+@pytest.mark.slow
 def test_local_limit_1d():
     """delta -> 0 with mesh refinement: nonlocal solution approaches the
     local Poisson solution (first-order in delta for the sharp-ball

@@ -48,6 +48,7 @@ def reference_solution(asm, A, b):
     return np.linalg.solve(Ad, np.asarray(b)[:asm.n_dofs])
 
 
+@pytest.mark.slow
 def test_vanka_smoother_converges():
     asm, A, b, u0 = build_stokes(4)
     blocks = build_element_blocks(asm, elems_per_block=2)
