@@ -429,6 +429,31 @@ class Assembler:
         self.particle_payload_names: Tuple[str, ...] = ()
         self.aux_field_specs: List[Tuple[str, str]] = []   # (name, family)
         self._faces_built = False
+        # alternate matrix layout (patch stencil; algebra/patchstencil.py)
+        self.patch_tab = None
+        self._patch_slots = None
+        self._patch_size = None
+
+    def set_patch_layout(self, plan) -> None:
+        """Assemble the Jacobian into the PATCH-STENCIL layout instead of
+        ELL (mesh must come from mesh.patches.refine_patched; single
+        biquadratic unknown).  ``op_with`` then returns a PatchStencilOp
+        with symmetric Dirichlet elimination applied in stencil form."""
+        from ..algebra.patchstencil import build_patch_slots, build_patch_tables
+        assert len(self.unknowns) == 1 and \
+            self.unknowns[0].family == "biquadratic", \
+            "patch layout: single biquadratic unknown"
+        tab = build_patch_tables(plan)
+        assert tab.n == self.n_dofs, (tab.n, self.n_dofs)
+        slots, size = build_patch_slots(plan, tab)
+        if self.ne_pad != slots.shape[0]:
+            pad = self.ne_pad - slots.shape[0]
+            slots = np.concatenate(
+                [slots, np.full((pad,) + slots.shape[1:], size, np.int64)])
+        self.patch_tab = tab
+        self._patch_slots = slots
+        self._patch_size = size
+        self._tables_cache = None
 
     # ------------------------------------------------------------------
     def set_dirichlet(self, mask: np.ndarray, values: Optional[np.ndarray] = None) -> None:
@@ -673,6 +698,10 @@ class Assembler:
             "edofs": jnp.asarray(self.edofs),
             "scatter_rows": jnp.asarray(self._scatter_rows),
             "slots": jnp.asarray(self.slots.reshape(-1)),
+            "patch_slots": (jnp.asarray(self._patch_slots.reshape(-1))
+                            if self._patch_slots is not None else None),
+            "patch_owner": (jnp.asarray(self.patch_tab.owner)
+                            if self.patch_tab is not None else None),
             "coords_e": self.coords_e,
             "dir_mask": jnp.asarray(self.dirichlet_mask),
             "ell_cols": jnp.asarray(self.pattern.cols),
@@ -732,6 +761,9 @@ class Assembler:
         row_ids = jnp.arange(nrows)[:, None]
         const_tables = None if pass_tables else self.device_tables()
         layout = getattr(self.volume_form, "layout", layout)
+        assert self.patch_tab is None or (
+            self.face_form is None and self.particle_form is None), \
+            "patch matrix layout: face/particle Jacobians not supported"
 
         def assemble_t(u, tables, aux_fields=None, aux_scalars=None):
             aux_fields = aux_fields or {}
@@ -803,6 +835,14 @@ class Assembler:
                     jac = jax.vmap(jax.jacfwd(one))(
                         u_loc, tables["coords_e"], tables["elem_group"],
                         *aux_arrays)
+                if self.patch_tab is not None:
+                    # patch-stencil target (algebra/patchstencil.py): every
+                    # element scatters into its own patch's lattice slots
+                    data = (jnp.zeros(self._patch_size, self.dtype)
+                            .at[tables["patch_slots"]]
+                            .add(jac.ravel(), mode="drop"))
+                    R = jnp.where(tables["dir_mask"], 0.0, R)
+                    return R, data
                 if gather is not None:
                     jf = jnp.concatenate([jac.ravel(),
                                           jnp.zeros(1, self.dtype)])
@@ -1005,7 +1045,19 @@ class Assembler:
     def new_op(self) -> SparseOp:
         return op_from_pattern(self.pattern, dtype=self.dtype)
 
-    def op_with(self, data: jnp.ndarray) -> SparseOp:
+    def op_with(self, data: jnp.ndarray):
+        """Wrap assembled matrix data as a device operator.
+
+        ELL layout -> SparseOp; patch layout (set_patch_layout) ->
+        PatchStencilOp with stencil-form Dirichlet elimination applied."""
+        if self.patch_tab is not None:
+            from ..algebra.patchstencil import (K, dirichlet_eliminate,
+                                                make_patch_op)
+            tab = self.patch_tab
+            wt = data.reshape(K, tab.H, tab.H, tab.Pp)
+            op = make_patch_op(tab, wt)
+            return dirichlet_eliminate(op, jnp.asarray(self.dirichlet_mask),
+                                       jnp.asarray(tab.owner))
         return SparseOp(data, jnp.asarray(self.pattern.cols), self.pattern.n_cols)
 
 
