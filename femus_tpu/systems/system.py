@@ -133,9 +133,22 @@ class System:
         self.unknowns = [Unknown(n, ml_sol.vars[n].family) for n in self.unknown_names]
         self.assemblers: List[Assembler] = []
         self.masks: List[np.ndarray] = []
+        if self.config.operator == "patch":
+            # patch-stencil operators (algebra/patchstencil.py): refined
+            # levels assemble straight into batched lattice stencils; the
+            # coarse level stays ELL.  PtAP cannot consume the patch layout,
+            # so coarse V-cycle operators are re-assembled per level.
+            assert self.config.coarse_op == "rediscretize" or \
+                not self.config.use_mg, \
+                "operator='patch' needs coarse_op='rediscretize'"
+            assert self.config.smoother in ("jacobi", "chebyshev"), \
+                "operator='patch': jacobi/chebyshev smoothers only"
         for l, mesh in enumerate(self.ml_mesh.levels):
             a = Assembler(mesh, self.unknowns, quad_order=self.problem.quad_order)
             a.set_volume_form(self.volume_form)
+            if (self.config.operator == "patch"
+                    and getattr(mesh, "patch_plan", None) is not None):
+                a.set_patch_layout(mesh.patch_plan)
             if self.face_form is not None:
                 a.set_face_form(self.face_form)
             for (svar, alias, old) in self.aux_specs:
