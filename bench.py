@@ -120,6 +120,33 @@ def bench_unstructured_ell():
     return asm.pattern.nnz / t
 
 
+def bench_patch_spmv():
+    """Patch-lattice stencil SpMV (algebra/patchstencil.py) on the refined
+    UNSTRUCTURED nsbenc coarse mesh — the TPU-native operator path for
+    refined-hierarchy workloads (scalar biquadratic operator)."""
+    from femus_tpu.assembly.bc import generate_bdc
+    from femus_tpu.assembly.engine import Assembler, Unknown
+    from femus_tpu.assembly.forms import poisson
+    from femus_tpu.mesh.gambit import read_neu
+    from femus_tpu.mesh.patches import refine_patched
+
+    levels = int(os.environ.get("BENCH_PATCH_LEVELS", "4"))
+    coarse = read_neu(
+        "/root/reference/unittests/testNSSteadyDD/input/nsbenc.neu")
+    fine, plan = refine_patched(coarse, levels)
+    asm = Assembler(fine, [Unknown("u", "biquadratic")], quad_order="fifth",
+                    dtype=jnp.float32)
+    asm.set_volume_form(poisson("u", "biquadratic"))
+    generate_bdc(asm, lambda var, x, grp, t: (True, 0.0))
+    asm.set_patch_layout(plan)
+    assemble = jax.jit(asm.make_assemble_fn(pass_tables=True))
+    _, data = assemble(jnp.zeros(asm.n_dofs_pad, jnp.float32),
+                       asm.device_tables())
+    A = asm.op_with(data)
+    t = bench_op(A, lambda op, v: op @ v, iters=50)
+    return asm.pattern.nnz / t
+
+
 def bench_newton_step():
     """One FULL Newton step on the nsbenc NS system through the framework's
     own solver: element-last assembly + Galerkin PtAP chain + V-cycle(Vanka)-
@@ -189,6 +216,10 @@ def main():
                 bench_unstructured_ell() / 1e9, 3)
         except Exception as e:          # never lose the headline metric
             extra["ell_unstructured_error"] = repr(e)[:120]
+        try:
+            extra["patch_spmv_gnnz_s"] = round(bench_patch_spmv() / 1e9, 3)
+        except Exception as e:
+            extra["patch_spmv_error"] = repr(e)[:120]
         try:
             step_s, iters = bench_newton_step()
             extra["ns_newton_step_s"] = round(step_s, 4)
