@@ -541,8 +541,12 @@ class Assembler:
             table[tgt, k] = src
             return table.astype(np.int32), mult
 
-        n_slots = self.pattern.n_rows * self.pattern.width
-        slot_src, _ = invert(self.slots.ravel(), n_slots, n_slots)
+        if self.patch_tab is not None:
+            slot_src, _ = invert(self._patch_slots.ravel(),
+                                 self._patch_size, self._patch_size)
+        else:
+            n_slots = self.pattern.n_rows * self.pattern.width
+            slot_src, _ = invert(self.slots.ravel(), n_slots, n_slots)
         row_src, _ = invert(self._scatter_rows.ravel().astype(np.int64),
                             self.n_dofs_pad, self.n_dofs_pad)
         return {"slot_src": jnp.asarray(slot_src),
@@ -838,9 +842,16 @@ class Assembler:
                 if self.patch_tab is not None:
                     # patch-stencil target (algebra/patchstencil.py): every
                     # element scatters into its own patch's lattice slots
-                    data = (jnp.zeros(self._patch_size, self.dtype)
-                            .at[tables["patch_slots"]]
-                            .add(jac.ravel(), mode="drop"))
+                    # (or, with a gather plan, slot-sources sum — the
+                    # scatter-free TPU form, like the ELL fast path)
+                    if gather is not None:
+                        jf = jnp.concatenate([jac.ravel(),
+                                              jnp.zeros(1, self.dtype)])
+                        data = jf[gather["slot_src"]].sum(axis=1)
+                    else:
+                        data = (jnp.zeros(self._patch_size, self.dtype)
+                                .at[tables["patch_slots"]]
+                                .add(jac.ravel(), mode="drop"))
                     R = jnp.where(tables["dir_mask"], 0.0, R)
                     return R, data
                 if gather is not None:

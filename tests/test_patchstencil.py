@@ -62,6 +62,22 @@ def test_patch_matvec_matches_ell(mesh_name, levels):
                        np.asarray(A_p.diagonal()), atol=1e-10)
 
 
+def test_patch_gather_plan_assembly_matches_scatter():
+    """The scatter-free gather-plan form of patch assembly (slot-sources
+    sum) produces identical stencil data."""
+    coarse = unit_box((3, 2), "quad")
+    fine, plan, a_ell, a_pat = _assemblers(coarse, 2)
+    fn = a_pat.make_assemble_fn(pass_tables=True)
+    u0 = jnp.zeros(a_pat.n_dofs_pad)
+    t_sc = a_pat.device_tables()
+    R1, d1 = fn(u0, t_sc)
+    t_ga = a_pat.device_tables()
+    t_ga["gather"] = a_pat.gather_plan()
+    R2, d2 = fn(u0, t_ga)
+    assert np.allclose(np.asarray(R1), np.asarray(R2), atol=1e-12)
+    assert np.allclose(np.asarray(d1), np.asarray(d2), atol=1e-12)
+
+
 def test_patch_cg_solves_poisson():
     """End-to-end: CG with Jacobi on the patch operator reproduces the
     manufactured Poisson solution on the refined nsbenc-style box."""
