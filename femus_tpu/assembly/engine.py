@@ -715,7 +715,10 @@ class Assembler:
             "aux_conn": {},
             "faces": [],
             "particles": None,
-            "gather": None,
+            # patch layout: always ship the inverse (gather) plan — the
+            # direct .at[].add scatter into the stencil array compiles
+            # pathologically on XLA:TPU (measured: >19 min vs 16 s)
+            "gather": self.gather_plan() if self.patch_tab is not None else None,
         }
         for name, fam in self.aux_field_specs:
             conn = self.mesh.dofmap(fam).conn
