@@ -439,13 +439,22 @@ class Assembler:
         ELL (mesh must come from mesh.patches.refine_patched; single
         biquadratic unknown).  ``op_with`` then returns a PatchStencilOp
         with symmetric Dirichlet elimination applied in stencil form."""
-        from ..algebra.patchstencil import build_patch_slots, build_patch_tables
         assert len(self.unknowns) == 1 and \
             self.unknowns[0].family == "biquadratic", \
             "patch layout: single biquadratic unknown"
-        tab = build_patch_tables(plan)
-        assert tab.n == self.n_dofs, (tab.n, self.n_dofs)
-        slots, size = build_patch_slots(plan, tab)
+        from ..mesh.patches3d import PatchPlan3D
+        if isinstance(plan, PatchPlan3D):
+            from ..algebra.patchstencil3d import (build_patch_slots_3d,
+                                                  build_patch_tables_3d)
+            tab = build_patch_tables_3d(plan)
+            assert tab.n == self.n_dofs, (tab.n, self.n_dofs)
+            slots, size = build_patch_slots_3d(plan, tab)
+        else:
+            from ..algebra.patchstencil import (build_patch_slots,
+                                                build_patch_tables)
+            tab = build_patch_tables(plan)
+            assert tab.n == self.n_dofs, (tab.n, self.n_dofs)
+            slots, size = build_patch_slots(plan, tab)
         if self.ne_pad != slots.shape[0]:
             pad = self.ne_pad - slots.shape[0]
             slots = np.concatenate(
@@ -1065,9 +1074,19 @@ class Assembler:
         ELL layout -> SparseOp; patch layout (set_patch_layout) ->
         PatchStencilOp with stencil-form Dirichlet elimination applied."""
         if self.patch_tab is not None:
+            tab = self.patch_tab
+            from ..algebra.patchstencil3d import PatchTables3D
+            if isinstance(tab, PatchTables3D):
+                from ..algebra.patchstencil3d import (K3,
+                                                      dirichlet_eliminate_3d,
+                                                      make_patch_op_3d)
+                wt = data.reshape(K3, tab.H, tab.H, tab.H, tab.Pp)
+                op = make_patch_op_3d(tab, wt)
+                return dirichlet_eliminate_3d(
+                    op, jnp.asarray(self.dirichlet_mask),
+                    jnp.asarray(tab.owner))
             from ..algebra.patchstencil import (K, dirichlet_eliminate,
                                                 make_patch_op)
-            tab = self.patch_tab
             wt = data.reshape(K, tab.H, tab.H, tab.Pp)
             op = make_patch_op(tab, wt)
             return dirichlet_eliminate(op, jnp.asarray(self.dirichlet_mask),
