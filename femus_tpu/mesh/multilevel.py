@@ -56,7 +56,10 @@ class PatchedMultiLevelMesh(MultiLevelMesh):
 
     def refine_to(self, n_levels: int) -> None:
         from .patches import refine_patched
+        from .patches3d import refine_patched_hex
+        build = refine_patched_hex if self.levels[0].geom == "hex" \
+            else refine_patched
         while len(self.levels) < n_levels:
-            fine, plan = refine_patched(self.levels[0], len(self.levels))
+            fine, plan = build(self.levels[0], len(self.levels))
             fine.patch_plan = plan
             self.levels.append(fine)

@@ -18,6 +18,40 @@ def exact(x):
     return jnp.sin(pi * x[:, 0]) * jnp.sin(pi * x[:, 1])
 
 
+def test_patch3d_operator_mg_solve():
+    """Same MG drive with the 3-D hex patch operator."""
+    ml_mesh = PatchedMultiLevelMesh(unit_box((2, 2, 2), "hex"), 2)
+    assert ml_mesh.levels[1].patch_plan is not None
+    ml_sol = MultiLevelSolution(ml_mesh)
+    ml_sol.add_solution("u", "biquadratic")
+    ml_sol.initialize("u")
+    ml_sol.attach_bc(lambda var, x, grp, t: (True, 0.0))
+    ml_sol.generate_bdc("u")
+    prob = MultiLevelProblem(ml_mesh, ml_sol, quad_order="fifth")
+    sys = prob.add_system(LinearImplicitSystem, "poisson-patch3d")
+    sys.add_unknown("u")
+
+    def exact3(x):
+        return (jnp.sin(pi * x[:, 0]) * jnp.sin(pi * x[:, 1])
+                * jnp.sin(pi * x[:, 2]))
+
+    sys.set_assembly(poisson("u", "biquadratic", rhs=lambda x: (
+        3 * pi ** 2 * exact3(x))))
+    cfg = sys.config
+    cfg.operator = "patch"
+    cfg.coarse_op = "rediscretize"
+    cfg.smoother = "chebyshev"
+    cfg.mg_type = "V"
+    cfg.rtol = 1e-10
+    sys.init()
+    out = sys.solve()
+    assert out["iters"] <= 12, out
+    u = ml_sol.sol[-1]["u"]
+    x = ml_mesh.levels[-1].node_coords_of("biquadratic")
+    err = np.abs(u - np.asarray(exact3(jnp.asarray(x)))).max()
+    assert err < 5e-3, err      # coarse 8x8x8-element Q2 mesh
+
+
 def test_patch_operator_mg_solve():
     ml_mesh = PatchedMultiLevelMesh(unit_box((3, 3), "quad"), 3)
     assert ml_mesh.levels[1].patch_plan is not None
