@@ -135,19 +135,31 @@ def _face_line_idx(H: int, f: int):
     return np.zeros_like(r), r
 
 
-def build_patch_slots(plan: PatchPlan, tab: PatchTables) -> Tuple[np.ndarray, int]:
-    """(ne, n_bq, n_bq) flat weight-slot index per element-Jacobian entry.
+def build_patch_slots(plan: PatchPlan, tab: PatchTables,
+                      nv: int = 1) -> Tuple[np.ndarray, int]:
+    """(ne, nv*n_bq, nv*n_bq) flat weight-slot index per element-Jacobian
+    entry for a stacked system of ``nv`` biquadratic unknowns.
 
-    Weight layout: flat = ((k*H + i)*H + j)*Pp + p for row lattice (i, j) of
-    patch p, offset k = (di+2)*5 + (dj+2) with (di, dj) = col - row."""
+    Weight layout: flat = ((((vr*nv + vc)*K + k)*H + i)*H + j)*Pp + p for
+    row lattice (i, j) of patch p, variable blocks (vr, vc), offset
+    k = (di+2)*5 + (dj+2) with (di, dj) = col - row."""
     H, Pp = tab.H, tab.Pp
     lat = plan.elem_node_lat                        # (ne, n_bq, 2)
+    ne, n_bq = lat.shape[:2]
     p = plan.elem_patch[:, None, None]
     ia, ja = lat[:, :, None, 0], lat[:, :, None, 1]
     ib, jb = lat[:, None, :, 0], lat[:, None, :, 1]
     k = (ib - ia + 2) * 5 + (jb - ja + 2)
-    slots = ((k * H + ia) * H + ja) * Pp + p
-    return slots.astype(np.int64), K * H * H * Pp
+    base = ((k * H + ia) * H + ja) * Pp + p         # (ne, n_bq, n_bq)
+    if nv == 1:
+        return base.astype(np.int64), K * H * H * Pp
+    blk = K * H * H * Pp
+    out = np.empty((ne, nv * n_bq, nv * n_bq), np.int64)
+    for vr in range(nv):
+        for vc in range(nv):
+            out[:, vr * n_bq:(vr + 1) * n_bq, vc * n_bq:(vc + 1) * n_bq] = \
+                base + (vr * nv + vc) * blk
+    return out, nv * nv * blk
 
 
 @jax.tree_util.register_pytree_node_class
@@ -235,6 +247,117 @@ class PatchStencilOp:
         n = self.n_rows
         return jax.vmap(self.matvec, in_axes=1, out_axes=1)(
             jnp.eye(n, dtype=self.wt.dtype))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BlockPatchStencilOp:
+    """Stacked system of nv biquadratic unknowns: per-block patch stencils.
+
+    wt[(vr*nv + vc)*K + k] couples row variable vr to column variable vc —
+    a (nv x nv)-block operator whose every block is a 25-point patch
+    stencil; the skeleton routing is shared across variables (same node
+    lattice for every biquadratic unknown).
+    """
+
+    wt: jnp.ndarray                   # (nv*nv*K, H, H, Pp)
+    G_face: jnp.ndarray
+    G_edge: jnp.ndarray
+    M_cs: jnp.ndarray
+    M_vs: jnp.ndarray
+    meta: Tuple[int, ...]             # H,P,Pp,E,n_edges,n_verts,n_per_var,nv
+
+    def tree_flatten(self):
+        return ((self.wt, self.G_face, self.G_edge, self.M_cs, self.M_vs),
+                (self.meta,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch, aux[0])
+
+    @property
+    def nv(self) -> int:
+        return self.meta[7]
+
+    @property
+    def n_rows(self) -> int:
+        return self.meta[6] * self.meta[7]
+
+    def _scalar(self, wt=None) -> PatchStencilOp:
+        return PatchStencilOp(self.wt if wt is None else wt, self.G_face,
+                              self.G_edge, self.M_cs, self.M_vs,
+                              self.meta[:7])
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        H = self.meta[0]
+        nb = self.meta[6]
+        nv = self.nv
+        proto = self._scalar()
+        X = [proto._patch_field(x[v * nb:(v + 1) * nb]) for v in range(nv)]
+        out = []
+        for vr in range(nv):
+            Y = None
+            for vc in range(nv):
+                for k, (di, dj) in enumerate(OFFSETS):
+                    w = self.wt[(vr * nv + vc) * K + k]
+                    term = w * jax.lax.slice(
+                        X[vc], (2 + di, 2 + dj, 0),
+                        (2 + di + H, 2 + dj + H, X[vc].shape[2]))
+                    Y = term if Y is None else Y + term
+            out.append(proto._collect(Y))
+        return jnp.concatenate(out)
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+    def diagonal(self) -> jnp.ndarray:
+        k0 = OFFSETS.index((0, 0))
+        proto = self._scalar()
+        nv = self.nv
+        return jnp.concatenate([
+            proto._collect(self.wt[(v * nv + v) * K + k0])
+            for v in range(nv)])
+
+    def to_dense(self) -> jnp.ndarray:
+        n = self.n_rows
+        return jax.vmap(self.matvec, in_axes=1, out_axes=1)(
+            jnp.eye(n, dtype=self.wt.dtype))
+
+
+def dirichlet_eliminate_block(op: BlockPatchStencilOp, dir_mask: jnp.ndarray,
+                              owner: jnp.ndarray) -> BlockPatchStencilOp:
+    """Blockwise symmetric elimination (see dirichlet_eliminate)."""
+    H = op.meta[0]
+    nb = op.meta[6]
+    nv = op.nv
+    proto = op._scalar()
+    D = [proto._patch_field(dir_mask[v * nb:(v + 1) * nb].astype(op.wt.dtype))
+         for v in range(nv)]
+    core = [jax.lax.slice(d, (2, 2, 0), (2 + H, 2 + H, d.shape[2])) > 0.5
+            for d in D]
+    k0 = OFFSETS.index((0, 0))
+    new = []
+    for vr in range(nv):
+        for vc in range(nv):
+            for k, (di, dj) in enumerate(OFFSETS):
+                shifted = jax.lax.slice(
+                    D[vc], (2 + di, 2 + dj, 0),
+                    (2 + di + H, 2 + dj + H, D[vc].shape[2])) > 0.5
+                w = jnp.where(core[vr] | shifted, 0.0,
+                              op.wt[(vr * nv + vc) * K + k])
+                if k == k0 and vr == vc:
+                    w = jnp.where(core[vr] & owner, 1.0, w)
+                new.append(w)
+    return BlockPatchStencilOp(jnp.stack(new), op.G_face, op.G_edge,
+                               op.M_cs, op.M_vs, op.meta)
+
+
+def make_block_patch_op(tab: PatchTables, wt: jnp.ndarray,
+                        nv: int) -> BlockPatchStencilOp:
+    return BlockPatchStencilOp(
+        wt, jnp.asarray(tab.G_face), jnp.asarray(tab.G_edge),
+        jnp.asarray(tab.M_cs), jnp.asarray(tab.M_vs),
+        (tab.H, tab.P, tab.Pp, tab.E, tab.n_edges, tab.n_verts, tab.n, nv))
 
 
 def dirichlet_eliminate(op: PatchStencilOp, dir_mask: jnp.ndarray,

@@ -439,11 +439,12 @@ class Assembler:
         ELL (mesh must come from mesh.patches.refine_patched; single
         biquadratic unknown).  ``op_with`` then returns a PatchStencilOp
         with symmetric Dirichlet elimination applied in stencil form."""
-        assert len(self.unknowns) == 1 and \
-            self.unknowns[0].family == "biquadratic", \
-            "patch layout: single biquadratic unknown"
+        assert all(u.family == "biquadratic" for u in self.unknowns), \
+            "patch layout: biquadratic unknowns only"
+        nv = len(self.unknowns)
         from ..mesh.patches3d import PatchPlan3D
         if isinstance(plan, PatchPlan3D):
+            assert nv == 1, "3-D patch layout: single unknown (so far)"
             from ..algebra.patchstencil3d import (build_patch_slots_3d,
                                                   build_patch_tables_3d)
             tab = build_patch_tables_3d(plan)
@@ -453,8 +454,9 @@ class Assembler:
             from ..algebra.patchstencil import (build_patch_slots,
                                                 build_patch_tables)
             tab = build_patch_tables(plan)
-            assert tab.n == self.n_dofs, (tab.n, self.n_dofs)
-            slots, size = build_patch_slots(plan, tab)
+            assert tab.n * nv == self.n_dofs, (tab.n, nv, self.n_dofs)
+            slots, size = build_patch_slots(plan, tab, nv=nv)
+        self._patch_nv = nv
         if self.ne_pad != slots.shape[0]:
             pad = self.ne_pad - slots.shape[0]
             slots = np.concatenate(
@@ -1086,7 +1088,16 @@ class Assembler:
                     op, jnp.asarray(self.dirichlet_mask),
                     jnp.asarray(tab.owner))
             from ..algebra.patchstencil import (K, dirichlet_eliminate,
+                                                dirichlet_eliminate_block,
+                                                make_block_patch_op,
                                                 make_patch_op)
+            nv = getattr(self, "_patch_nv", 1)
+            if nv > 1:
+                wt = data.reshape(nv * nv * K, tab.H, tab.H, tab.Pp)
+                op = make_block_patch_op(tab, wt, nv)
+                return dirichlet_eliminate_block(
+                    op, jnp.asarray(self.dirichlet_mask),
+                    jnp.asarray(tab.owner))
             wt = data.reshape(K, tab.H, tab.H, tab.Pp)
             op = make_patch_op(tab, wt)
             return dirichlet_eliminate(op, jnp.asarray(self.dirichlet_mask),

@@ -62,6 +62,38 @@ def test_patch_matvec_matches_ell(mesh_name, levels):
                        np.asarray(A_p.diagonal()), atol=1e-10)
 
 
+def test_block_patch_matvec_matches_ell():
+    """Multi-variable (vector) biquadratic block system: plane-strain linear
+    elasticity (DX, DY) through the block patch stencil vs ELL."""
+    from femus_tpu.assembly.forms import elasticity
+
+    coarse = read_neu(NSBENC)
+    fine, plan = refine_patched(coarse, 1)
+    unks = [Unknown("DX", "biquadratic"), Unknown("DY", "biquadratic")]
+    form = elasticity(("DX", "DY"), model="linear", lam=1.2, mu=0.8)
+    a_ell = Assembler(fine, unks, quad_order="fifth")
+    a_pat = Assembler(fine, unks, quad_order="fifth")
+    for a in (a_ell, a_pat):
+        a.set_volume_form(form)
+        generate_bdc(a, lambda var, x, grp, t: (grp == 1, 0.0))
+    a_pat.set_patch_layout(plan)
+
+    u0 = jnp.zeros(a_ell.n_dofs_pad)
+    R_e, d_e = a_ell.make_assemble_fn()(u0)
+    R_p, d_p = a_pat.make_assemble_fn()(u0)
+    A_e = a_ell.op_with(d_e)
+    A_p = a_pat.op_with(d_p)
+    assert np.allclose(np.asarray(R_e), np.asarray(R_p), atol=1e-12)
+    rng = np.random.default_rng(7)
+    for _ in range(2):
+        x = jnp.asarray(rng.standard_normal(a_ell.n_dofs_pad))
+        ye = np.asarray(A_e @ x)
+        yp = np.asarray(A_p @ x)
+        assert np.allclose(ye, yp, atol=1e-10), np.abs(ye - yp).max()
+    assert np.allclose(np.asarray(A_e.diagonal()),
+                       np.asarray(A_p.diagonal()), atol=1e-10)
+
+
 def test_patch_gather_plan_assembly_matches_scatter():
     """The scatter-free gather-plan form of patch assembly (slot-sources
     sum) produces identical stencil data."""
