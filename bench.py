@@ -143,7 +143,7 @@ def bench_patch_spmv():
     _, data = assemble(jnp.zeros(asm.n_dofs_pad, jnp.float32),
                        asm.device_tables())
     A = asm.op_with(data)
-    t = bench_op(A, lambda op, v: op @ v, iters=50)
+    t = bench_op(A, lambda op, v: op @ v, iters=300)
     return asm.pattern.nnz / t
 
 
