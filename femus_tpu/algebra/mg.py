@@ -222,13 +222,17 @@ def build_hierarchy(fine_op: SparseOp,
                     vanka_blocks: Optional[Sequence] = None,
                     vanka_omega: float = 0.9,
                     compute_dtype=None,
-                    coarse_dense_max: Optional[int] = None) -> MGHierarchy:
+                    coarse_dense_max: Optional[int] = None,
+                    bell_plans: Optional[Sequence] = None) -> MGHierarchy:
     """Construct the hierarchy from the finest assembled op via PtAP chain.
 
     transfers[i] connects level i (coarse) to level i+1 (fine); the finest
     level is len(transfers).  dir_masks (coarse->fine, excluding finest —
     the fine op arrives already eliminated) restores identity rows on the
-    Galerkin-coarsened operators.
+    Galerkin-coarsened operators.  bell_plans (coarse->fine, len n_levels,
+    entries BellDev or None) re-lays each level's matvec onto the
+    blocked-ELL slab (algebra/bell.py) — PtAP and smoother block extraction
+    keep reading the ELL side of the wrapped operators.
     """
     n_levels = len(transfers) + 1
     ops = [None] * n_levels
@@ -256,6 +260,11 @@ def build_hierarchy(fine_op: SparseOp,
                  for P in P_ops]
         R_ops = [SparseOp(R.data.astype(compute_dtype), R.cols, R.n_cols)
                  for R in R_ops]
+    if bell_plans is not None:
+        from .bell import BellBackedOp, bell_backed
+        ops = [bell_backed(bp, A)
+               if (bp is not None and not isinstance(A, BellBackedOp)) else A
+               for bp, A in zip(bell_plans, ops)]
     levels = []
     for l in range(n_levels):
         A = ops[l]

@@ -57,8 +57,19 @@ class SolverConfig:
     # "assembled" = ELL data + PtAP Galerkin chain (reference semantics);
     # "matrix_free" = finest-level J.v via jax.linearize of the residual (no
     # fine ELL data materialized), Chebyshev on a scatter-assembled diagonal,
-    # first coarse level re-assembled on its own mesh at the restricted state
+    # first coarse level re-assembled on its own mesh at the restricted state;
+    # "bell" = assembled semantics, but every Krylov/smoother matvec rides
+    # the blocked-ELL slab (algebra/bell.py — the general-unstructured TPU
+    # fast path; ~60x the ELL gather SpMV on unstructured operators);
+    # "patch" = patch-lattice stencils on refined hierarchies
     operator: str = "assembled"
+    # dof ordering for the operator="bell" slabs: "identity" trusts the mesh
+    # numbering (no per-matvec permutes; combine with
+    # mesh.reorder.rcm_reorder for unstructured meshes), "rcm" reorders at
+    # plan build (densest slabs, two n-element gathers per matvec).  With
+    # "identity", a plan whose slab exceeds ~24x the ELL bytes is rebuilt
+    # with RCM automatically (nonlocal numberings would otherwise blow HBM)
+    bell_order: str = "identity"
     # coarse operators inside the V-cycle: "galerkin" = PtAP chain from the
     # fine Jacobian (reference matrix_PtAP); "rediscretize" = re-assemble
     # each coarse level on its own mesh at the restricted state — the
@@ -219,6 +230,25 @@ class System:
         return {k: jnp.asarray(v) for k, v in self.aux_scalars.items()}
 
     # ---- per-level jitted solve step ----------------------------------
+    def _bell_dev(self, pattern):
+        """Cached BELL device plan for an operator pattern (operator="bell");
+        None below the size where the ELL gather is already cheap."""
+        if pattern.n_rows < 2048:
+            return None
+        cache = getattr(self, "_bell_plans", None)
+        if cache is None:
+            cache = self._bell_plans = {}
+        key = id(pattern)
+        if key not in cache:
+            from ..algebra.bell import build_bell_plan
+            order = self.config.bell_order
+            plan = build_bell_plan(
+                pattern, perm="identity" if order == "identity" else None)
+            if order == "identity" and plan.nnz_bytes_ratio > 24.0:
+                plan = build_bell_plan(pattern)        # RCM rescue
+            cache[key] = plan.device()
+        return cache[key]
+
     def _transfers_for(self, level: int):
         """PtAP-chained transfers for a hierarchy whose finest level is
         ``level`` (cached)."""
@@ -300,6 +330,19 @@ class System:
             self._step_fns[level] = run
             return run
 
+        # blocked-ELL fast matvecs (operator="bell"): device plans per
+        # hierarchy level, passed through jit as pytree arguments
+        bell_fine = None
+        bell_coarse = None
+        if cfg.operator == "bell" and not coarse_direct:
+            bell_fine = self._bell_dev(a.pattern)
+            if transfers and rediscretize:
+                bell_coarse = [self._bell_dev(self.assemblers[l].pattern)
+                               for l in range(base, level)]
+            elif transfers:
+                bell_coarse = [self._bell_dev(t[2].coarse_pattern)
+                               for t in transfers]
+
         # rediscretized coarse side: per-level assemble fns + state
         # restriction chain (u_{l} = (P^T u_{l+1}) / (P^T 1), unmasked P)
         coarse_assemble = rsol_chain = None
@@ -323,9 +366,13 @@ class System:
         # baked-in constants of their size (tens of M entries on fine
         # levels) stall XLA constant folding for minutes per compile
         def step(u, tables, aux_fields, aux_scalars, transfers_a, dmasks_a,
-                 vblocks_a, ctables_a, caux_a, rsol_a, extra_rhs):
+                 vblocks_a, ctables_a, caux_a, rsol_a, bell_f_a, bell_c_a,
+                 extra_rhs):
             R, data = assemble(u, tables, aux_fields, aux_scalars)
             A = a.op_with(data)
+            if bell_f_a is not None:
+                from ..algebra.bell import bell_backed
+                A = bell_backed(bell_f_a, A)
             if coarse_direct:
                 Ad = A.to_dense()
                 delta = jnp.linalg.solve(Ad, -R)
@@ -348,6 +395,9 @@ class System:
                     _, data_l = coarse_assemble[l](u_l, ctables_a[l],
                                                    caux_a[l], aux_scalars)
                     ops[l] = a_c.op_with(data_l)
+                    if bell_c_a is not None and bell_c_a[l] is not None:
+                        from ..algebra.bell import bell_backed
+                        ops[l] = bell_backed(bell_c_a[l], ops[l])
                 pr = [(t[0], t[1]) for t in transfers_a]
                 h = build_hierarchy_from_ops(
                     ops, pr, smoother=cfg.smoother, n_pre=cfg.n_pre,
@@ -361,7 +411,9 @@ class System:
                                     dir_masks=dmasks_a,
                                     vanka_blocks=vblocks_a,
                                     vanka_omega=cfg.vanka_omega,
-                                    coarse_dense_max=cfg.coarse_dense_max_dofs)
+                                    coarse_dense_max=cfg.coarse_dense_max_dofs,
+                                    bell_plans=(None if bell_c_a is None
+                                                else list(bell_c_a) + [None]))
                 M = h.as_preconditioner("V")
             elif cfg.smoother == "vanka":
                 from ..algebra.vanka import vanka_smoother
@@ -400,7 +452,7 @@ class System:
                 ctables = caux = None
             return jitted(u, tables, aux_fields, aux_scalars, transfers,
                           dmasks, vblocks, ctables, caux, rsol_chain,
-                          extra_rhs)
+                          bell_fine, bell_coarse, extra_rhs)
 
         self._step_fns[level] = run
         return run
