@@ -39,6 +39,11 @@ import numpy as np
 
 from .sparse import EllPattern
 
+# Pallas kernel geometry: blocks per grid step, and the VMEM residency cap
+# for the x vector (n_xblocks * 128 * 4 B must fit VMEM comfortably)
+_CHUNK = 512
+_PALLAS_MAX_XBLOCKS = 4096
+
 
 def rcm_permutation(pattern: EllPattern) -> np.ndarray:
     """Reverse Cuthill-McKee ordering of the symmetrized pattern graph.
@@ -73,6 +78,8 @@ class BellPlan:
     dest: np.ndarray          # (n*width,) blocks-flat index per ELL slot
                               #            (out of bounds for padding slots)
     diag_src: np.ndarray      # (n,) blocks-flat index of each row's diagonal
+    nb: int                   # logical (nonempty) block count; block_ids is
+                              # padded to a _CHUNK multiple
 
     @property
     def identity(self) -> bool:
@@ -82,12 +89,17 @@ class BellPlan:
 
     @property
     def n_blocks(self) -> int:
+        """Logical (nonempty) block count."""
+        return self.nb
+
+    @property
+    def n_blocks_pad(self) -> int:
         return int(self.block_ids.shape[0])
 
     @property
     def nnz_bytes_ratio(self) -> float:
         """Slab bytes / ideal ELL bytes (value+index) — the traffic price."""
-        return (self.n_blocks * self.tile * 128 * 4) / (len(self.dest) * 8)
+        return (self.n_blocks_pad * self.tile * 128 * 4) / (len(self.dest) * 8)
 
     def device(self) -> "BellDev":
         """Cached device-array view (see :class:`BellDev`)."""
@@ -100,6 +112,7 @@ class BellPlan:
                 None if ident else jnp.asarray(self.perm),
                 None if ident else jnp.asarray(self.iperm),
                 self.n, self.tile, self.n_xblocks, self.n_blocks)
+            assert self.n_blocks_pad % _CHUNK == 0
             object.__setattr__(self, "_dev", dev)
         return dev
 
@@ -145,8 +158,13 @@ def build_bell_plan(pattern: EllPattern, tile: int = 8,
     # route through ELL slot order so device relayout reads data.ravel();
     # padding slots get DISTINCT out-of-bounds destinations (mode="drop"
     # discards them; distinctness keeps unique_indices=True honest)
+    # pad the block list to a CHUNK multiple so the Pallas kernel's grid
+    # divides evenly with no per-matvec pad copy of the slab; padding blocks
+    # stay all-zero (their x gather hits block 0, multiplied by zeros)
     nb = len(uniq)
-    size = nb * tile * 128
+    nb_pad = -(-max(nb, 1) // _CHUNK) * _CHUNK
+    block_ids = np.pad(block_ids, (0, nb_pad - nb))
+    size = nb_pad * tile * 128
     dest = size + np.arange(n * pattern.width, dtype=np.int64)
     dest[pattern.csr_to_ell_slots()] = dest_csr
     # diagonal slab positions per (new-order) row; rows without a diagonal
@@ -164,7 +182,7 @@ def build_bell_plan(pattern: EllPattern, tile: int = 8,
         diag[missing] = hole
     diag = diag[iperm]               # new-row order -> original row order
     return BellPlan(n, tile, n_tiles, n_xblocks, perm, iperm, block_ids,
-                    tile_start, dest, diag)
+                    tile_start, dest, diag, nb)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -184,7 +202,11 @@ class BellDev:
     n: int
     tile: int
     n_xblocks: int
-    n_blocks: int
+    n_blocks: int              # logical; block_ids/slab are padded to _CHUNK
+
+    @property
+    def n_blocks_pad(self) -> int:
+        return int(self.block_ids.shape[0])
 
     def tree_flatten(self):
         return ((self.block_ids, self.tile_start, self.dest, self.diag_src,
@@ -220,12 +242,19 @@ class BellOp:
         return self.dev.n
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        if (jax.default_backend() != "cpu"
+                and self.dev.n_xblocks <= _PALLAS_MAX_XBLOCKS):
+            return spmv_bell_pallas(self, x)
+        return self.matvec_xla(x)
+
+    def matvec_xla(self, x: jnp.ndarray) -> jnp.ndarray:
         p = self.dev
+        nb = p.n_blocks
         xin = x if p.perm is None else x[p.perm]
         xp = jnp.zeros(p.n_xblocks * 128, x.dtype).at[:p.n].set(xin)
-        xg = xp.reshape(p.n_xblocks, 128)[p.block_ids]
+        xg = xp.reshape(p.n_xblocks, 128)[p.block_ids[:nb]]
         # (nb, T, 128) x (nb, 128) -> (nb, T): dense tile matvecs
-        yb = jnp.einsum("btk,bk->bt", self.blocks, xg,
+        yb = jnp.einsum("btk,bk->bt", self.blocks[:nb], xg,
                         preferred_element_type=x.dtype)
         # sorted-segment sum over each tile's block run, scatter-free:
         # cumulative sum + difference at the tile boundaries
@@ -248,10 +277,11 @@ def relayout_ell(plan, ell_data: jnp.ndarray) -> BellOp:
     ELL padding slots carry out-of-bounds destinations and are dropped).
     ``plan``: a host :class:`BellPlan` or its :class:`BellDev`."""
     dev = plan.device() if isinstance(plan, BellPlan) else plan
-    slab = jnp.zeros(dev.n_blocks * dev.tile * 128, ell_data.dtype)
+    nbp = dev.n_blocks_pad
+    slab = jnp.zeros(nbp * dev.tile * 128, ell_data.dtype)
     slab = slab.at[dev.dest].set(
         ell_data.reshape(-1), mode="drop", unique_indices=True)
-    return BellOp(slab.reshape(dev.n_blocks, dev.tile, 128), dev)
+    return BellOp(slab.reshape(nbp, dev.tile, 128), dev)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -303,6 +333,74 @@ class BellBackedOp:
         out = jnp.zeros((self.n_rows, self.n_cols), self.data.dtype)
         rows = jnp.repeat(jnp.arange(self.n_rows), self.width)
         return out.at[rows, self.cols.ravel()].add(self.data.ravel())
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused BELL SpMV: one kernel for gather + tile matvecs.
+#
+# The XLA path issues ~10 kernels per matvec (pad, row-gather, einsum,
+# cumsum, boundary diff, slice) whose launch overheads and HBM-materialized
+# intermediates (xg, yb) cost more than the slab streaming itself at these
+# sizes.  The fused kernel streams the blocks slab through VMEM in chunks,
+# keeps the WHOLE x vector resident in VMEM (FEM dof vectors are tiny next
+# to the slab), and realizes the x block-gather as a one-hot MXU matmul
+# (bids == iota) — the same routing trick as the patch-stencil skeleton.
+# Only the cheap sorted-segment reduction (cumsum + boundary diff over
+# (nb, T)) stays outside.
+# ---------------------------------------------------------------------------
+
+def spmv_bell_pallas(op: BellOp, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A x on the BELL slab via the fused Pallas kernel.
+
+    Falls back to the XLA path when x is too large to sit in VMEM
+    (n_xblocks > _PALLAS_MAX_XBLOCKS) — the launch overheads amortize away
+    at that scale anyway.  The slab arrives pre-padded to a _CHUNK multiple
+    (build_bell_plan), so the grid divides with no per-call copies."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p = op.dev
+    if p.n_xblocks > _PALLAS_MAX_XBLOCKS:
+        return op.matvec_xla(x)
+    dtype = x.dtype
+    nb, nbp, T, nxb = p.n_blocks, p.n_blocks_pad, p.tile, p.n_xblocks
+    chunk = _CHUNK
+
+    xin = x if p.perm is None else x[p.perm]
+    x2d = jnp.zeros(nxb * 128, dtype).at[:p.n].set(xin).reshape(nxb, 128)
+
+    def kernel(bids_ref, x_ref, blocks_ref, yb_ref):
+        bid = bids_ref[0, :]                                    # (chunk,)
+        oh = (bid[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (chunk, nxb), 1)).astype(dtype)
+        # HIGHEST: the MXU's default bf16 passes would round the gathered x
+        # values (the one-hot matmul must reproduce x exactly)
+        xg = jnp.dot(oh, x_ref[:], preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)       # (chunk, 128)
+        yb_ref[:] = (blocks_ref[:] * xg[:, None, :]).sum(axis=-1)
+
+    yb = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nbp, T), dtype),
+        grid=(nbp // chunk,),
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nxb, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, T, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, T), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(p.block_ids[None, :], x2d, op.blocks)
+
+    cs = jnp.concatenate([jnp.zeros((1, T), dtype),
+                          jnp.cumsum(yb[:nb], axis=0)], axis=0)
+    ts = p.tile_start
+    yt = cs[ts[1:]] - cs[ts[:-1]]
+    y_new = yt.reshape(-1)[:p.n]
+    return y_new if p.iperm is None else y_new[p.iperm]
 
 
 def bell_backed(plan, op) -> BellBackedOp:
