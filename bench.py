@@ -166,6 +166,70 @@ def bench_bell_unstructured():
     return asm.pattern.nnz / t
 
 
+def bench_mg_vcycle():
+    """One MG V-cycle application on the nsbenc NS hierarchy (Vanka
+    smoothers, dense coarse solve, BELL matvecs) — the BASELINE.md
+    "MG V-cycle time" operational metric.  The hierarchy (PtAP + Vanka
+    factorizations) is built once per sweep; the scan-slope cancels it."""
+    from femus_tpu.apps import ns_bench
+    from femus_tpu.algebra.bell import bell_backed
+    from femus_tpu.algebra.mg import build_hierarchy
+    from femus_tpu.algebra.vanka import build_element_blocks
+    levels = int(os.environ.get("BENCH_NS_LEVELS", "2"))
+    prob, sys_ = ns_bench.make_ns_system(levels=levels, rtol=1e-4)
+    sys_.config.operator = "bell"
+    lvl = levels - 1
+    a = sys_.assemblers[lvl]
+    assemble = jax.jit(a.make_assemble_fn(pass_tables=True))
+    u = jnp.asarray(sys_.gather(lvl))
+    _, data = assemble(u, a.device_tables_cached(), {}, {})
+    transfers = sys_._transfers_for(lvl)
+    cfg = sys_.config
+    vblocks = []
+    for j in range(lvl + 1):
+        pat = transfers[j][2].coarse_pattern if j < len(transfers) else None
+        vblocks.append(build_element_blocks(
+            sys_.assemblers[j], cfg.vanka_block_elems, pattern=pat,
+            groups=cfg.vanka_groups))
+    bell_f = sys_._bell_dev(a.pattern)
+    bell_c = [sys_._bell_dev(t[2].coarse_pattern) for t in transfers]
+    dmasks = [jnp.asarray(m) for m in sys_.masks[:lvl]]
+
+    def sweep_fn(iters):
+        def sweep(data, r0):
+            A = a.op_with(data)
+            if bell_f is not None:
+                A = bell_backed(bell_f, A)
+            h = build_hierarchy(A, transfers, smoother=cfg.smoother,
+                                n_pre=cfg.n_pre, n_post=cfg.n_post,
+                                dir_masks=dmasks, vanka_blocks=vblocks,
+                                vanka_omega=cfg.vanka_omega,
+                                bell_plans=list(bell_c) + [None])
+            M = h.as_preconditioner("V")
+
+            def body(r, _):
+                w = M(r)
+                return w / jnp.max(jnp.abs(w)), None
+            r, _ = jax.lax.scan(body, r0, None, length=iters)
+            return r[:1]
+        return jax.jit(sweep)
+
+    r0 = jnp.ones(a.n_dofs_pad, data.dtype)
+
+    def run(it):
+        f = sweep_fn(it)
+        np.asarray(f(data, r0))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(data, r0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    iters = 12
+    return max((run(2 + iters) - run(2)) / iters, 1e-9)
+
+
 def bench_newton_step():
     """One FULL Newton step on the nsbenc NS system through the framework's
     own solver: element-last assembly + Galerkin PtAP chain + V-cycle(Vanka)-
@@ -252,6 +316,10 @@ def main():
             extra["ns_gmres_iters_to_tol"] = iters
         except Exception as e:
             extra["ns_newton_step_error"] = repr(e)[:120]
+        try:
+            extra["mg_vcycle_ms"] = round(bench_mg_vcycle() * 1e3, 3)
+        except Exception as e:
+            extra["mg_vcycle_error"] = repr(e)[:120]
 
     print(json.dumps({
         "metric": "spmv_nnz_per_s_per_chip",

@@ -9,11 +9,13 @@ sparsity pattern at setup on host (FEM patterns are static — SURVEY.md §7
   entries point at the row's own diagonal with value 0, so SpMV needs no
   masking and the gather is always in-bounds.
 - SpMV = ``(data * x[cols]).sum(-1)`` — a gather + elementwise product +
-  small-axis reduction that XLA maps onto the VPU at HBM-roofline speed.
-  Pallas fast paths exist for the structured layouts where they beat the
-  XLA gather: diagonal-banded operators (dia.py) and lattice stencils
-  (stencil.py); the general unstructured ELL path stays on the XLA gather,
-  whose random-access pattern a hand kernel cannot improve on TPU.
+  small-axis reduction.  On TPU the per-element gather lowers to scalar
+  loads, so this baseline path is memory-system-bound far below roofline;
+  it remains the reference semantics and the CPU/test path.  The fast
+  paths re-lay the same assembled data: diagonal-banded operators
+  (dia.py), lattice stencils (stencil.py), patch-lattice stencils
+  (patchstencil.py), and blocked-ELL slabs for general unstructured
+  operators (bell.py, ~72x this path on the nsbenc NS Jacobian).
 - Assembly scatters batched element matrices into ``data`` through a
   precomputed slot map (see assembly/engine.py) — the analogue of
   ``add_matrix_blocked`` + ``close()`` (SparseMatrix.hpp:165) without any
