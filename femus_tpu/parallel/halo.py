@@ -104,3 +104,117 @@ def make_halo_spmv(plan: HaloPlan, mesh: Mesh, axis: str = "mesh"):
         return smapped(data, cols_local, send_idx, x)
 
     return spmv, row_sharding
+
+
+# ---------------------------------------------------------------------------
+# Blocked-ELL local SpMV (the TPU fast path of algebra/bell.py, per shard):
+# the local compute of the halo SpMV above is still an element gather
+# (x[cols]) which lowers to scalar loads on TPU.  Here each shard's local
+# operator block is re-laid into a dense (tile x 128-lane) slab at assembly
+# time (prepare), so every matvec streams contiguous HBM and the ghost
+# columns ride the same all_to_all.  Per-shard layouts differ, so the plan
+# arrays are stacked (S, ...) with common padded shapes and sharded along
+# with the data.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LocalBellPlan:
+    """Per-shard blocked-ELL layouts of the halo-local operator blocks."""
+
+    tile: int
+    nbp: int                    # common (max, padded) block count per shard
+    n_xblocks: int              # 128-lane blocks covering [own | ghosts]
+    n_tiles: int
+    C: int                      # local frame width R + S*m
+    block_ids: np.ndarray       # (S, nbp) int32
+    tile_start: np.ndarray      # (S, n_tiles + 1) int32
+    dest: np.ndarray            # (S, R*w) int64 slab destinations
+
+
+def build_local_bell(plan: HaloPlan, pattern: EllPattern,
+                     tile: int = 8) -> LocalBellPlan:
+    S, R, m = plan.n_shards, plan.rows_per_shard, plan.m
+    w = pattern.width
+    C = R + S * m
+    nxb = -(-C // 128)
+    n_tiles = -(-R // tile)
+    per = []
+    nb_max = 1
+    for s in range(S):
+        cols_blk = plan.cols_local[s * R:(s + 1) * R]       # (R, w)
+        valid_blk = pattern.valid[s * R:(s + 1) * R]
+        rows = np.repeat(np.arange(R, dtype=np.int64), w)
+        sel = valid_blk.ravel()
+        rp, cp = rows[sel], cols_blk.ravel().astype(np.int64)[sel]
+        slots = np.flatnonzero(sel)                         # ELL slot per nnz
+        key = (rp // tile) * np.int64(nxb) + cp // 128
+        uniq, inv = np.unique(key, return_inverse=True)
+        per.append((rp, cp, slots, uniq, inv))
+        nb_max = max(nb_max, len(uniq))
+    nbp = -(-nb_max // 8) * 8
+    size = nbp * tile * 128
+    block_ids = np.zeros((S, nbp), np.int32)
+    tile_start = np.zeros((S, n_tiles + 1), np.int32)
+    dest = np.empty((S, R * w), np.int64)
+    for s, (rp, cp, slots, uniq, inv) in enumerate(per):
+        block_ids[s, :len(uniq)] = uniq % nxb
+        tile_start[s] = np.searchsorted(uniq // nxb, np.arange(n_tiles + 1))
+        d = size + np.arange(R * w, dtype=np.int64)         # OOB = dropped
+        d[slots] = (inv.astype(np.int64) * tile + rp % tile) * 128 + cp % 128
+        dest[s] = d
+    return LocalBellPlan(tile, nbp, nxb, n_tiles, C, block_ids, tile_start,
+                         dest)
+
+
+def make_halo_spmv_bell(plan: HaloPlan, pattern: EllPattern, mesh: Mesh,
+                        axis: str = "mesh", tile: int = 8):
+    """Returns (prepare, spmv): ``slab = prepare(data)`` re-lays assembled
+    ELL data into per-shard BELL slabs (one scatter per assembly);
+    ``spmv(slab, x)`` then runs the halo exchange + blocked local matvec
+    (contiguous HBM streams, no element gathers)."""
+    S, R, m = plan.n_shards, plan.rows_per_shard, plan.m
+    lb = build_local_bell(plan, pattern, tile)
+    T, nbp, nxb, n_tiles, C = lb.tile, lb.nbp, lb.n_xblocks, lb.n_tiles, lb.C
+    send_idx = jnp.asarray(plan.send_idx)
+    dest = jnp.asarray(lb.dest)
+    bids = jnp.asarray(lb.block_ids)
+    tstart = jnp.asarray(lb.tile_start)
+
+    def local_prepare(data_blk, dest_blk):
+        slab = jnp.zeros(nbp * T * 128, data_blk.dtype)
+        return slab.at[dest_blk[0]].set(data_blk.reshape(-1), mode="drop",
+                                        unique_indices=True)[None, :]
+
+    prep = jax.shard_map(local_prepare, mesh=mesh,
+                         in_specs=(P(axis, None), P(axis, None)),
+                         out_specs=P(axis, None))
+
+    def local_mv(slab_blk, bids_blk, ts_blk, send_blk, x_blk):
+        send = x_blk[send_blk[0]]                           # (S, m)
+        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=False)
+        xfull = jnp.concatenate([x_blk, recv.reshape(-1)])  # (C,)
+        xp = jnp.zeros(nxb * 128, x_blk.dtype).at[:C].set(xfull)
+        xg = xp.reshape(nxb, 128)[bids_blk[0]]              # (nbp, 128)
+        blocks = slab_blk[0].reshape(nbp, T, 128)
+        yb = jnp.einsum("btk,bk->bt", blocks, xg,
+                        preferred_element_type=x_blk.dtype)
+        cs = jnp.concatenate([jnp.zeros((1, T), yb.dtype),
+                              jnp.cumsum(yb, axis=0)], axis=0)
+        ts = ts_blk[0]
+        yt = cs[ts[1:]] - cs[ts[:-1]]
+        return yt.reshape(-1)[:R]
+
+    smapped = jax.shard_map(
+        local_mv, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                  P(axis, None, None), P(axis)),
+        out_specs=P(axis))
+
+    def prepare(data):
+        return prep(data, dest)
+
+    def spmv(slab, x):
+        return smapped(slab, bids, tstart, send_idx, x)
+
+    return prepare, spmv

@@ -83,7 +83,8 @@ def make_sharded_step(assembler: Assembler, mesh: Mesh,
                       restart: int = 30, max_outer: int = 10,
                       smoother: str = "jacobi",
                       aux_scalars: Optional[dict] = None,
-                      use_halo: bool = True) -> Callable:
+                      use_halo: bool = True,
+                      local_format: str = "auto") -> Callable:
     """One jitted Newton/linear step with row/element sharding constraints.
 
     Returns step(u) -> (u_new, residual_norm); ``u`` is the padded stacked
@@ -94,6 +95,12 @@ def make_sharded_step(assembler: Assembler, mesh: Mesh,
     exactly the ghost dofs, instead of the XLA partitioner's all-gather of
     the full vector per gather.  Falls back automatically when the padded
     row count does not divide the mesh axis.
+
+    local_format: layout of each shard's local operator block inside the
+    halo SpMV — "ell" (gather form; best on CPU test meshes), "bell"
+    (per-shard blocked-ELL slab, halo.make_halo_spmv_bell — the TPU fast
+    path; slab re-laid once per assembly), or "auto" (bell on accelerator
+    backends, ell on CPU).
     """
     assemble = assembler.make_assemble_fn()
     vec_sh = NamedSharding(mesh, P("mesh"))
@@ -101,12 +108,18 @@ def make_sharded_step(assembler: Assembler, mesh: Mesh,
     scalars = dict(aux_scalars or {})
     axis = mesh.axis_names[0]
     n_shards = mesh.shape[axis]
+    if local_format == "auto":
+        local_format = "ell" if jax.default_backend() == "cpu" else "bell"
 
-    halo_spmv = None
+    halo_spmv = halo_bell = None
     if use_halo and assembler.pattern.n_rows % n_shards == 0 and n_shards > 1:
-        from .halo import build_halo_plan, make_halo_spmv
+        from .halo import build_halo_plan, make_halo_spmv, make_halo_spmv_bell
         plan = build_halo_plan(assembler.pattern, n_shards)
-        halo_spmv, _ = make_halo_spmv(plan, mesh, axis)
+        if local_format == "bell":
+            halo_bell = make_halo_spmv_bell(plan, assembler.pattern, mesh,
+                                            axis)
+        else:
+            halo_spmv, _ = make_halo_spmv(plan, mesh, axis)
 
     def step(u):
         u = jax.lax.with_sharding_constraint(u, vec_sh)
@@ -114,7 +127,11 @@ def make_sharded_step(assembler: Assembler, mesh: Mesh,
         R = jax.lax.with_sharding_constraint(R, vec_sh)
         data = jax.lax.with_sharding_constraint(data, row_sh)
         A = assembler.op_with(data)
-        if halo_spmv is not None:
+        if halo_bell is not None:
+            prepare, bell_mv = halo_bell
+            slab = prepare(data)
+            A = _HaloOp(A, lambda x: bell_mv(slab, x))
+        elif halo_spmv is not None:
             A = _HaloOp(A, lambda x: halo_spmv(data, x))
         if transfers:
             h = build_hierarchy(A, list(transfers), smoother=smoother,

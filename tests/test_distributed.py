@@ -76,3 +76,11 @@ def test_halo_step_avoids_krylov_allgather():
     n_ag_xla = texts[False].count("all-gather(")
     assert n_a2a >= 1, "halo path lost its all_to_all"
     assert n_ag_halo < n_ag_xla, (n_ag_halo, n_ag_xla)
+
+    # blocked-ELL local layout (the TPU fast path): same solution again
+    step_b = make_sharded_step(asm, mesh, outer="cg", rtol=1e-10,
+                               max_outer=40, use_halo=True,
+                               local_format="bell")
+    u1b, resb = step_b(u0)
+    assert float(resb) < 1e-7
+    assert np.allclose(np.asarray(u1b), sols[True], atol=1e-9)

@@ -39,6 +39,38 @@ def test_halo_spmv_matches_global():
 
 
 @pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
+def test_halo_spmv_bell_matches_global():
+    """Per-shard blocked-ELL local matvec (halo.make_halo_spmv_bell) —
+    the TPU fast path of the distributed SpMV — matches the global op."""
+    from femus_tpu.parallel.halo import make_halo_spmv_bell
+    n_shards = NDEV
+    mesh = unit_box((8, 8), "quad")
+    asm = Assembler(mesh, [Unknown("u", "biquadratic")], quad_order="fifth",
+                    pad_dofs_to=n_shards)
+    asm.set_volume_form(poisson("u", "biquadratic"))
+    generate_bdc(asm, lambda var, x, grp, t: (True, 0.0))
+    R, data = jax.jit(asm.make_assemble_fn())(jnp.zeros(asm.n_dofs_pad))
+    A = asm.op_with(data)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=asm.n_dofs_pad))
+    want = np.asarray(A @ x)
+
+    dm = device_mesh(n_shards)
+    plan = build_halo_plan(asm.pattern, n_shards)
+    prepare, spmv = make_halo_spmv_bell(plan, asm.pattern, dm)
+    xd = jax.device_put(x, jax.sharding.NamedSharding(
+        dm, jax.sharding.PartitionSpec("mesh")))
+    dd = jax.device_put(data, jax.sharding.NamedSharding(
+        dm, jax.sharding.PartitionSpec("mesh", None)))
+
+    @jax.jit
+    def run(dd, xd):
+        return spmv(prepare(dd), xd)
+
+    got = np.asarray(run(dd, xd))
+    assert np.allclose(got, want, atol=1e-10)
+
+
+@pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
 def test_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(NDEV)
