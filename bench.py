@@ -196,15 +196,18 @@ def bench_mg_vcycle():
     dmasks = [jnp.asarray(m) for m in sys_.masks[:lvl]]
 
     def sweep_fn(iters):
-        def sweep(data, r0):
+        # transfers / Vanka tables / masks / BELL plans enter as jit
+        # ARGUMENTS — closing over them would bake multi-MB index constants
+        # into the HLO and stall XLA constant folding (see systems/system.py)
+        def sweep(data, r0, transfers_a, dmasks_a, vblocks_a, bf_a, bc_a):
             A = a.op_with(data)
-            if bell_f is not None:
-                A = bell_backed(bell_f, A)
-            h = build_hierarchy(A, transfers, smoother=cfg.smoother,
+            if bf_a is not None:
+                A = bell_backed(bf_a, A)
+            h = build_hierarchy(A, transfers_a, smoother=cfg.smoother,
                                 n_pre=cfg.n_pre, n_post=cfg.n_post,
-                                dir_masks=dmasks, vanka_blocks=vblocks,
+                                dir_masks=dmasks_a, vanka_blocks=vblocks_a,
                                 vanka_omega=cfg.vanka_omega,
-                                bell_plans=list(bell_c) + [None])
+                                bell_plans=list(bc_a) + [None])
             M = h.as_preconditioner("V")
 
             def body(r, _):
@@ -218,11 +221,12 @@ def bench_mg_vcycle():
 
     def run(it):
         f = sweep_fn(it)
-        np.asarray(f(data, r0))
+        args = (data, r0, transfers, dmasks, vblocks, bell_f, bell_c)
+        np.asarray(f(*args))
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(f(data, r0))
+            np.asarray(f(*args))
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -117,6 +117,57 @@ class BellPlan:
         return dev
 
 
+def ell_block_layout(rp, cp, slots, n_rows: int, n_cols: int, tile: int,
+                     n_slots: int, nb_pad: int = None,
+                     pad_blocks_to: int = None):
+    """Shared blocked-layout core (used by the square BELL plan here and the
+    per-shard rectangular halo layout, parallel/halo.build_local_bell).
+
+    rp/cp: (nnz,) row/col indices in the target frame; slots: flat SOURCE
+    slot per nnz (ELL or CSR order) within ``n_slots`` total slots —
+    non-nnz slots get distinct out-of-bounds destinations (dropped by the
+    relayout scatter).  Returns (block_ids, tile_start, dest, nb,
+    dest_nnz): block_ids padded to ``nb_pad`` (or the next multiple of
+    ``pad_blocks_to``), dest (n_slots,), dest_nnz the slab position per
+    nnz entry (for diagonal extraction)."""
+    nxb = -(-n_cols // 128)
+    n_tiles = -(-n_rows // tile)
+    key = (rp // tile) * np.int64(nxb) + cp // 128
+    uniq, inv = np.unique(key, return_inverse=True)
+    nb = len(uniq)
+    if nb_pad is None:
+        pad_blocks_to = pad_blocks_to or _CHUNK
+        nb_pad = -(-max(nb, 1) // pad_blocks_to) * pad_blocks_to
+    assert nb_pad >= nb
+    block_ids = np.pad((uniq % nxb).astype(np.int32), (0, nb_pad - nb))
+    tile_start = np.searchsorted(uniq // nxb,
+                                 np.arange(n_tiles + 1)).astype(np.int32)
+    dest_nnz = (inv.astype(np.int64) * tile + rp % tile) * 128 + cp % 128
+    dest = nb_pad * tile * 128 + np.arange(n_slots, dtype=np.int64)
+    dest[slots] = dest_nnz
+    return block_ids, tile_start, dest, nb, dest_nnz
+
+
+def bell_local_matvec(blocks, block_ids, tile_start, x_ext, n_rows: int,
+                      n_cols: int, nb: int):
+    """XLA-form blocked matvec core: ``blocks (nbp, T, 128)`` against an
+    extended-frame vector ``x_ext (n_cols,)``; the first ``nb`` logical
+    blocks participate.  Shared by BellOp.matvec_xla and the per-shard halo
+    matvec (parallel/halo.make_halo_spmv_bell)."""
+    T = blocks.shape[1]
+    nxb = -(-n_cols // 128)
+    xp = jnp.zeros(nxb * 128, x_ext.dtype).at[:n_cols].set(x_ext)
+    xg = xp.reshape(nxb, 128)[block_ids[:nb]]
+    yb = jnp.einsum("btk,bk->bt", blocks[:nb], xg,
+                    preferred_element_type=x_ext.dtype)
+    # sorted-segment sum over each tile's block run, scatter-free:
+    # cumulative sum + difference at the tile boundaries
+    cs = jnp.concatenate([jnp.zeros((1, T), yb.dtype),
+                          jnp.cumsum(yb, axis=0)], axis=0)
+    yt = cs[tile_start[1:]] - cs[tile_start[:-1]]
+    return yt.reshape(-1)[:n_rows]
+
+
 def build_bell_plan(pattern: EllPattern, tile: int = 8,
                     perm=None) -> BellPlan:
     """Blocked-ELL layout of ``pattern``.
@@ -141,32 +192,14 @@ def build_bell_plan(pattern: EllPattern, tile: int = 8,
     rp = iperm[rows]
     cp = iperm[pattern.indices]
 
-    t_ids = rp // tile
-    b_ids = cp // 128
     n_tiles = -(-n // tile)
     n_xblocks = -(-n // 128)
-    key = t_ids * np.int64(n_xblocks) + b_ids
-    uniq, inv = np.unique(key, return_inverse=True)
-    block_tile = (uniq // n_xblocks).astype(np.int32)
-    block_ids = (uniq % n_xblocks).astype(np.int32)
-    # block ranges per tile (uniq is sorted so tiles are contiguous runs)
-    tile_start = np.searchsorted(block_tile, np.arange(n_tiles + 1)).astype(
-        np.int32)
-
-    # destination inside the blocks slab for every CSR entry
-    dest_csr = (inv.astype(np.int64) * tile + (rp % tile)) * 128 + (cp % 128)
-    # route through ELL slot order so device relayout reads data.ravel();
-    # padding slots get DISTINCT out-of-bounds destinations (mode="drop"
-    # discards them; distinctness keeps unique_indices=True honest)
-    # pad the block list to a CHUNK multiple so the Pallas kernel's grid
-    # divides evenly with no per-matvec pad copy of the slab; padding blocks
-    # stay all-zero (their x gather hits block 0, multiplied by zeros)
-    nb = len(uniq)
-    nb_pad = -(-max(nb, 1) // _CHUNK) * _CHUNK
-    block_ids = np.pad(block_ids, (0, nb_pad - nb))
-    size = nb_pad * tile * 128
-    dest = size + np.arange(n * pattern.width, dtype=np.int64)
-    dest[pattern.csr_to_ell_slots()] = dest_csr
+    # slab layout + relayout destinations (blocks padded to the Pallas
+    # kernel chunk so the grid divides with no per-matvec pad copies;
+    # padding blocks stay all-zero)
+    block_ids, tile_start, dest, nb, dest_csr = ell_block_layout(
+        rp, cp, pattern.csr_to_ell_slots(), n, n, tile, n * pattern.width)
+    size = (len(block_ids)) * tile * 128
     # diagonal slab positions per (new-order) row; rows without a diagonal
     # pattern entry (e.g. pure padding rows) read a guaranteed-zero hole
     diag_rows_new = rp[cp == rp]
@@ -242,27 +275,18 @@ class BellOp:
         return self.dev.n
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        if (jax.default_backend() != "cpu"
+        # auto-route ONLY on TPU: the kernel's pltpu memory spaces do not
+        # lower on other backends (GPU etc. fall back to the XLA form)
+        if (jax.default_backend() == "tpu"
                 and self.dev.n_xblocks <= _PALLAS_MAX_XBLOCKS):
             return spmv_bell_pallas(self, x)
         return self.matvec_xla(x)
 
     def matvec_xla(self, x: jnp.ndarray) -> jnp.ndarray:
         p = self.dev
-        nb = p.n_blocks
         xin = x if p.perm is None else x[p.perm]
-        xp = jnp.zeros(p.n_xblocks * 128, x.dtype).at[:p.n].set(xin)
-        xg = xp.reshape(p.n_xblocks, 128)[p.block_ids[:nb]]
-        # (nb, T, 128) x (nb, 128) -> (nb, T): dense tile matvecs
-        yb = jnp.einsum("btk,bk->bt", self.blocks[:nb], xg,
-                        preferred_element_type=x.dtype)
-        # sorted-segment sum over each tile's block run, scatter-free:
-        # cumulative sum + difference at the tile boundaries
-        cs = jnp.concatenate([jnp.zeros((1, p.tile), yb.dtype),
-                              jnp.cumsum(yb, axis=0)], axis=0)
-        ts = p.tile_start
-        yt = cs[ts[1:]] - cs[ts[:-1]]              # (n_tiles, T)
-        y_new = yt.reshape(-1)[:p.n]
+        y_new = bell_local_matvec(self.blocks, p.block_ids, p.tile_start,
+                                  xin, p.n, p.n, p.n_blocks)
         return y_new if p.iperm is None else y_new[p.iperm]
 
     def __matmul__(self, x):

@@ -134,13 +134,13 @@ class LocalBellPlan:
 
 def build_local_bell(plan: HaloPlan, pattern: EllPattern,
                      tile: int = 8) -> LocalBellPlan:
+    from ..algebra.bell import ell_block_layout
     S, R, m = plan.n_shards, plan.rows_per_shard, plan.m
     w = pattern.width
     C = R + S * m
     nxb = -(-C // 128)
     n_tiles = -(-R // tile)
     per = []
-    nb_max = 1
     for s in range(S):
         cols_blk = plan.cols_local[s * R:(s + 1) * R]       # (R, w)
         valid_blk = pattern.valid[s * R:(s + 1) * R]
@@ -148,21 +148,20 @@ def build_local_bell(plan: HaloPlan, pattern: EllPattern,
         sel = valid_blk.ravel()
         rp, cp = rows[sel], cols_blk.ravel().astype(np.int64)[sel]
         slots = np.flatnonzero(sel)                         # ELL slot per nnz
-        key = (rp // tile) * np.int64(nxb) + cp // 128
-        uniq, inv = np.unique(key, return_inverse=True)
-        per.append((rp, cp, slots, uniq, inv))
-        nb_max = max(nb_max, len(uniq))
-    nbp = -(-nb_max // 8) * 8
-    size = nbp * tile * 128
+        per.append((rp, cp, slots))
+    # first pass learns per-shard block counts; second lays out every shard
+    # with the COMMON padded count so the stacked arrays shard_map cleanly
+    nb_max = max(ell_block_layout(rp, cp, slots, R, C, tile, R * w,
+                                  pad_blocks_to=1)[3]
+                 for (rp, cp, slots) in per)
+    nbp = -(-max(nb_max, 1) // 8) * 8
     block_ids = np.zeros((S, nbp), np.int32)
     tile_start = np.zeros((S, n_tiles + 1), np.int32)
     dest = np.empty((S, R * w), np.int64)
-    for s, (rp, cp, slots, uniq, inv) in enumerate(per):
-        block_ids[s, :len(uniq)] = uniq % nxb
-        tile_start[s] = np.searchsorted(uniq // nxb, np.arange(n_tiles + 1))
-        d = size + np.arange(R * w, dtype=np.int64)         # OOB = dropped
-        d[slots] = (inv.astype(np.int64) * tile + rp % tile) * 128 + cp % 128
-        dest[s] = d
+    for s, (rp, cp, slots) in enumerate(per):
+        bi, ts, d, _, _ = ell_block_layout(rp, cp, slots, R, C, tile, R * w,
+                                           nb_pad=nbp)
+        block_ids[s], tile_start[s], dest[s] = bi, ts, d
     return LocalBellPlan(tile, nbp, nxb, n_tiles, C, block_ids, tile_start,
                          dest)
 
@@ -191,19 +190,13 @@ def make_halo_spmv_bell(plan: HaloPlan, pattern: EllPattern, mesh: Mesh,
                          out_specs=P(axis, None))
 
     def local_mv(slab_blk, bids_blk, ts_blk, send_blk, x_blk):
+        from ..algebra.bell import bell_local_matvec
         send = x_blk[send_blk[0]]                           # (S, m)
         recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=False)
         xfull = jnp.concatenate([x_blk, recv.reshape(-1)])  # (C,)
-        xp = jnp.zeros(nxb * 128, x_blk.dtype).at[:C].set(xfull)
-        xg = xp.reshape(nxb, 128)[bids_blk[0]]              # (nbp, 128)
         blocks = slab_blk[0].reshape(nbp, T, 128)
-        yb = jnp.einsum("btk,bk->bt", blocks, xg,
-                        preferred_element_type=x_blk.dtype)
-        cs = jnp.concatenate([jnp.zeros((1, T), yb.dtype),
-                              jnp.cumsum(yb, axis=0)], axis=0)
-        ts = ts_blk[0]
-        yt = cs[ts[1:]] - cs[ts[:-1]]
-        return yt.reshape(-1)[:R]
+        return bell_local_matvec(blocks, bids_blk[0], ts_blk[0], xfull,
+                                 R, C, nbp)
 
     smapped = jax.shard_map(
         local_mv, mesh=mesh,
