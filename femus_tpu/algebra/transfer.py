@@ -157,8 +157,11 @@ def build_ptap_schedule(fine_pattern: EllPattern, P: sp.csr_matrix,
             continue
         # expand each fine nnz into nk*nl triplets
         ent = np.repeat(np.arange(len(kk)), reps)
-        # position within the (nk x nl) product
-        offs = np.concatenate([np.arange(r) for r in reps]) if len(reps) else np.zeros(0, int)
+        # position within the (nk x nl) product (vectorized ranges:
+        # arange(total) minus each entry's cumulative start)
+        starts = np.zeros(len(reps), np.int64)
+        np.cumsum(reps[:-1], out=starts[1:])
+        offs = np.arange(int(reps.sum()), dtype=np.int64) - starts[ent]
         a = offs // nl[ent]
         b = offs % nl[ent]
         pi = Pidx[Pptr[kk[ent]] + a]
@@ -186,6 +189,17 @@ def build_ptap_schedule(fine_pattern: EllPattern, P: sp.csr_matrix,
                         jnp.asarray(coeff[order].astype(dtype)),
                         jnp.asarray(cpat.cols),
                         jnp.asarray(cpat.valid))
+
+
+def mask_prolongation(P: sp.spmatrix, row_mask, col_mask) -> sp.csr_matrix:
+    """Zero the masked (essential/Dirichlet) rows and columns of a transfer
+    operator.  CSR diagonal scaling — the LIL fancy-assignment form is
+    minutes-slow at fine-level sizes (hundreds of k rows)."""
+    dr = sp.diags((~np.asarray(row_mask[:P.shape[0]])).astype(np.float64))
+    dc = sp.diags((~np.asarray(col_mask[:P.shape[1]])).astype(np.float64))
+    Pm = (dr @ P @ dc).tocsr()
+    Pm.eliminate_zeros()
+    return Pm
 
 
 def op_pair_from_scipy(P: sp.csr_matrix, dtype=None) -> Tuple[SparseOp, SparseOp]:

@@ -314,11 +314,9 @@ def solve_mg_amr(meshes, unknowns, volume_form, bc_fn, quad_order="fifth",
         asm_c, C_c, free_c, mfc, _ = levels[l]
         asm_f, C_f, free_f, mff, _ = levels[l + 1]
         P_all = block_diag_prolongation(meshes[l], meshes[l + 1], unknowns)
-        P_red = (P_all @ C_c).tocsr()[free_f, :].tolil()
-        P_red[mff, :] = 0.0
-        P_red[:, mfc] = 0.0
-        Pm = P_red.tocsr()
-        Pm.eliminate_zeros()
+        from ..algebra.transfer import mask_prolongation
+        P_red = (P_all @ C_c).tocsr()[free_f, :]
+        Pm = mask_prolongation(P_red, mff, mfc)
         pr_pairs.append(op_pair_from_scipy(Pm))
     from ..algebra.mg import build_hierarchy_from_ops
     h = build_hierarchy_from_ops(ops, pr_pairs, smoother="chebyshev",

@@ -29,7 +29,7 @@ from ..assembly.engine import Assembler, Unknown
 from ..algebra.krylov import cg, gmres
 from ..algebra.mg import apply_dirichlet_identity, build_hierarchy
 from ..algebra.transfer import (block_diag_prolongation, build_ptap_schedule,
-                                op_pair_from_scipy)
+                                mask_prolongation, op_pair_from_scipy)
 from .solution import DIRICHLET, MultiLevelSolution
 
 
@@ -187,11 +187,7 @@ class System:
             P = block_diag_prolongation(self.ml_mesh.levels[l],
                                         self.ml_mesh.levels[l + 1], self.unknowns)
             self._P_raw = P
-            Pm = P.tolil()
-            Pm[self.masks[l + 1], :] = 0.0
-            Pm[:, self.masks[l]] = 0.0
-            Pm = Pm.tocsr()
-            Pm.eliminate_zeros()
+            Pm = mask_prolongation(P, self.masks[l + 1], self.masks[l])
             Pop, Rop = op_pair_from_scipy(Pm)
             sched = build_ptap_schedule(pat_above, Pm)
             self.transfers[l] = (Pop, Rop, sched)
@@ -266,11 +262,7 @@ class System:
                 P = block_diag_prolongation(self.ml_mesh.levels[l],
                                             self.ml_mesh.levels[l + 1],
                                             self.unknowns)
-                Pm = P.tolil()
-                Pm[self.masks[l + 1], :] = 0.0
-                Pm[:, self.masks[l]] = 0.0
-                Pm = Pm.tocsr()
-                Pm.eliminate_zeros()
+                Pm = mask_prolongation(P, self.masks[l + 1], self.masks[l])
                 Pop, Rop = op_pair_from_scipy(Pm)
                 sched = build_ptap_schedule(pat_above, Pm)
                 tr[l] = (Pop, Rop, sched)
