@@ -1070,11 +1070,15 @@ class Assembler:
     def new_op(self) -> SparseOp:
         return op_from_pattern(self.pattern, dtype=self.dtype)
 
-    def op_with(self, data: jnp.ndarray):
+    def op_with(self, data: jnp.ndarray, cols: jnp.ndarray = None):
         """Wrap assembled matrix data as a device operator.
 
         ELL layout -> SparseOp; patch layout (set_patch_layout) ->
-        PatchStencilOp with stencil-form Dirichlet elimination applied."""
+        PatchStencilOp with stencil-form Dirichlet elimination applied.
+        Inside jit, pass ``cols=tables["ell_cols"]`` (device_tables) so the
+        multi-M-entry column table enters as an argument instead of a baked
+        HLO constant (FSI fine levels: ~9M entries, minutes of XLA
+        constant folding otherwise)."""
         if self.patch_tab is not None:
             tab = self.patch_tab
             from ..algebra.patchstencil3d import PatchTables3D
@@ -1102,7 +1106,9 @@ class Assembler:
             op = make_patch_op(tab, wt)
             return dirichlet_eliminate(op, jnp.asarray(self.dirichlet_mask),
                                        jnp.asarray(tab.owner))
-        return SparseOp(data, jnp.asarray(self.pattern.cols), self.pattern.n_cols)
+        if cols is None:
+            cols = jnp.asarray(self.pattern.cols)
+        return SparseOp(data, cols, self.pattern.n_cols)
 
 
 def _build_slot_lut(pattern: EllPattern):

@@ -361,7 +361,7 @@ class System:
                  vblocks_a, ctables_a, caux_a, rsol_a, bell_f_a, bell_c_a,
                  extra_rhs):
             R, data = assemble(u, tables, aux_fields, aux_scalars)
-            A = a.op_with(data)
+            A = a.op_with(data, tables.get("ell_cols"))
             if bell_f_a is not None:
                 from ..algebra.bell import bell_backed
                 A = bell_backed(bell_f_a, A)
@@ -386,7 +386,8 @@ class System:
                            .at[:u_c0.shape[0]].set(u_c0))
                     _, data_l = coarse_assemble[l](u_l, ctables_a[l],
                                                    caux_a[l], aux_scalars)
-                    ops[l] = a_c.op_with(data_l)
+                    ops[l] = a_c.op_with(data_l,
+                                          ctables_a[l].get("ell_cols"))
                     if bell_c_a is not None and bell_c_a[l] is not None:
                         from ..algebra.bell import bell_backed
                         ops[l] = bell_backed(bell_c_a[l], ops[l])
