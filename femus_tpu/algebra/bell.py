@@ -40,9 +40,13 @@ import numpy as np
 from .sparse import EllPattern
 
 # Pallas kernel geometry: blocks per grid step, and the VMEM residency cap
-# for the x vector (n_xblocks * 128 * 4 B must fit VMEM comfortably)
+# for the x vector.  Budget at the cap (v5e ~16 MiB VMEM): one-hot routing
+# matmul chunk*nxb*4 = 4 MiB, resident x 1 MiB, double-buffered slab chunks
+# 2 x 2 MiB, output small -> ~9.5 MiB head-room; 4096 xblocks would put the
+# one-hot intermediate alone at 8 MiB and overflow at exactly the largest
+# auto-routed sizes
 _CHUNK = 512
-_PALLAS_MAX_XBLOCKS = 4096
+_PALLAS_MAX_XBLOCKS = 2048
 
 
 def rcm_permutation(pattern: EllPattern) -> np.ndarray:
@@ -153,7 +157,16 @@ def bell_local_matvec(blocks, block_ids, tile_start, x_ext, n_rows: int,
     """XLA-form blocked matvec core: ``blocks (nbp, T, 128)`` against an
     extended-frame vector ``x_ext (n_cols,)``; the first ``nb`` logical
     blocks participate.  Shared by BellOp.matvec_xla and the per-shard halo
-    matvec (parallel/halo.make_halo_spmv_bell)."""
+    matvec (parallel/halo.make_halo_spmv_bell).
+
+    Precision note: the scatter-free segment reduction (global cumsum +
+    boundary differences) accumulates a running sum across ALL tiles, so in
+    float32 with non-cancelling contributions per-row results can lose a
+    few digits vs a direct per-row sum.  The solver paths run f64 (or use
+    the residual-corrected outer Krylov), where the slack is far below
+    discretization error; for standalone f32 use, prefer
+    ``jax.ops.segment_sum`` over per-block tile ids if bit-accuracy
+    matters more than the ~2x reduction-cost advantage of the cumsum."""
     T = blocks.shape[1]
     nxb = -(-n_cols // 128)
     xp = jnp.zeros(nxb * 128, x_ext.dtype).at[:n_cols].set(x_ext)
@@ -206,10 +219,12 @@ def build_bell_plan(pattern: EllPattern, tile: int = 8,
     diag = np.empty(n, np.int64)
     diag[diag_rows_new] = dest_csr[cp == rp]
     if len(diag_rows_new) < n:
-        used = np.zeros(size + 1, bool)
+        used = np.zeros(size, bool)
         used[dest_csr] = True
         hole = int(np.argmin(used))
-        assert not used[hole], "BELL slab unexpectedly dense"
+        if used[hole]:        # every slab slot occupied: no zero hole exists
+            raise RuntimeError("BELL slab fully dense — no zero slot for "
+                               "diagonal-less rows (pad blocks exhausted)")
         missing = np.ones(n, bool)
         missing[diag_rows_new] = False
         diag[missing] = hole

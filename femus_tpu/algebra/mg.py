@@ -86,14 +86,32 @@ class MGHierarchy:
             x = lv.smoother(b, x)
         return x
 
+    def f_cycle(self, b, level: Optional[int] = None):
+        """Full-MG cycle: restrict the rhs to the coarsest grid, solve, and
+        ascend — at each level the prolonged coarse solution seeds one
+        V-cycle (reference PCMGSetCycleType PC_MG_CYCLE full / MgType
+        F_CYCLE; PETSc 'full' multigrid)."""
+        l = len(self.levels) - 1 if level is None else level
+        if l == 0:
+            return self.coarse_solve(b)
+        lv = self.levels[l]
+        ec = self.f_cycle(lv.R @ b, level=l - 1)
+        return self.v_cycle(b, lv.P @ ec, level=l)
+
     def as_preconditioner(self, cycle: str = "V") -> Callable:
-        """One cycle as M^{-1}.  If the hierarchy was built with a lower
-        compute_dtype (mixed precision), the input residual is cast down,
-        the cycle runs in low precision on the MXU/VPU-friendly dtype, and
-        the correction is cast back — the outer Krylov stays in the ambient
-        precision, so final accuracy is unaffected (the cycle is only a
-        preconditioner); only the convergence RATE can change."""
-        fn = self.v_cycle if cycle.upper() == "V" else self.w_cycle
+        """One cycle as M^{-1} — "V" | "W" | "F" (full MG), the reference's
+        MgType{V_CYCLE, F_CYCLE[, M_CYCLE]} (MgTypeEnum.hpp) as selected
+        into PETSc PCMGSetCycleType/PCMGSetType by MGInit
+        (LinearEquationSolverPetsc.cpp:185-210).
+
+        If the hierarchy was built with a lower compute_dtype (mixed
+        precision), the input residual is cast down, the cycle runs in low
+        precision on the MXU/VPU-friendly dtype, and the correction is cast
+        back — the outer Krylov stays in the ambient precision, so final
+        accuracy is unaffected (the cycle is only a preconditioner); only
+        the convergence RATE can change."""
+        fn = {"V": self.v_cycle, "W": self.w_cycle,
+              "F": self.f_cycle}[cycle.upper()]
         dt = self.compute_dtype
         if dt is None:
             return lambda r: fn(r)

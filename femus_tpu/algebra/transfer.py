@@ -142,15 +142,18 @@ def build_ptap_schedule(fine_pattern: EllPattern, P: sp.csr_matrix,
                               C.shape[0], C.shape[1])
     from ..assembly.engine import _build_slot_lut
     lut_c = _build_slot_lut(cpat)
-    # expand triplets (vectorized, batched over fine nnz to bound memory)
+    # expand triplets (vectorized, batched over fine nnz to bound memory);
+    # left factor rows come from Lc (= P for Galerkin, R^T for the general
+    # non-symmetric R A P product)
     Pptr, Pidx, Pval = Pc.indptr, Pc.indices, Pc.data
+    Lptr, Lidx, Lval = Lc.indptr, Lc.indices, Lc.data
     src_all, dst_all, coeff_all = [], [], []
     B = 1 << 20
     for s0 in range(0, len(slot_f), B):
         kk = k_of[s0:s0 + B]
         ll = l_of[s0:s0 + B]
         ss = slot_f[s0:s0 + B]
-        nk = Pptr[kk + 1] - Pptr[kk]
+        nk = Lptr[kk + 1] - Lptr[kk]
         nl = Pptr[ll + 1] - Pptr[ll]
         reps = nk * nl
         if reps.sum() == 0:
@@ -164,9 +167,9 @@ def build_ptap_schedule(fine_pattern: EllPattern, P: sp.csr_matrix,
         offs = np.arange(int(reps.sum()), dtype=np.int64) - starts[ent]
         a = offs // nl[ent]
         b = offs % nl[ent]
-        pi = Pidx[Pptr[kk[ent]] + a]
+        pi = Lidx[Lptr[kk[ent]] + a]
         pj = Pidx[Pptr[ll[ent]] + b]
-        cv = Pval[Pptr[kk[ent]] + a] * Pval[Pptr[ll[ent]] + b]
+        cv = Lval[Lptr[kk[ent]] + a] * Pval[Pptr[ll[ent]] + b]
         src_all.append(ss[ent])
         dst_all.append(lut_c(pi, pj))
         coeff_all.append(cv)
@@ -191,6 +194,93 @@ def build_ptap_schedule(fine_pattern: EllPattern, P: sp.csr_matrix,
                         jnp.asarray(cpat.valid))
 
 
+def fsi_restriction_transpose(coarse_mesh, fine_mesh, unknowns,
+                              pairs: Dict[str, str],
+                              solid_groups: Sequence[int],
+                              mark_family: str = "biquadratic"
+                              ) -> sp.csr_matrix:
+    """Petrov-Galerkin restriction transpose R^T for monolithic FSI.
+
+    Reference: ``MonolithicFSINonLinearImplicitSystem::
+    Build_RestrictionTranspose_OneElement_OneFEFamily_With_Pair_In_System``
+    (MonolithicFSINonLinearImplicitSystem.cpp:46-140) invoked from the FSI
+    ``BuildProlongatorMatrix`` override (:147-246): the restriction is built
+    like the prolongation, except entries that CROSS the fluid/solid
+    interface — fine node solid-mark != coarse node solid-mark — are routed
+    into the column block of the variable's *pair* (``PairSolution("U","DX")``
+    in the FSI apps) with the same interpolation weight, or dropped when the
+    variable is its own pair.  Coarse operators then use the non-symmetric
+    triple product ``A_c = R A P`` (matrix_ABC, LinearImplicitSystem.cpp:
+    348-352) and the MG cycle restricts residuals with R instead of P^T.
+
+    Semantics reproduced exactly:
+    - node solid mark = 1 iff the node touches a solid element
+      (Mesh::Topology_FillSolidNodeFlag, Mesh.cpp:478-501);
+    - a FINE dof is solid iff its interpolated coarse mark is ~1
+      (``0.99 < sum_j P[i,j] m_j < 1.01``, .cpp:100 — partition of unity
+      makes this exact when every contributing coarse node is solid);
+    - only the ``mark_family`` (CONTINUOUS_BIQUADRATIC) carries marks: for
+      other families the reference's coarse marks stay false, reducing to
+      plain prolongation (.cpp:70 ``soltype_in == 2`` guard); pressure
+      variables always use plain prolongation (:227 testIfPressure).
+
+    Returns R^T (n_fine x n_coarse, block layout of ``unknowns``);
+    ``R = (R^T)^T``.
+    """
+    def node_marks(mesh):
+        mark = np.zeros(mesh.coords.shape[0], bool)
+        sel = np.isin(np.asarray(mesh.elem_group), list(solid_groups))
+        if sel.any():
+            mark[np.unique(np.asarray(mesh.conn)[sel].ravel())] = True
+        return mark
+
+    mc_node = node_marks(coarse_mesh)
+    P_fam: Dict[str, sp.csr_matrix] = {}
+    row_off = np.cumsum([0] + [fine_mesh.dofmap(u.family).n_dofs
+                               for u in unknowns])
+    col_off = np.cumsum([0] + [coarse_mesh.dofmap(u.family).n_dofs
+                               for u in unknowns])
+    col_block = {u.name: i for i, u in enumerate(unknowns)}
+    rows_all, cols_all, vals_all = [], [], []
+    for k, u in enumerate(unknowns):
+        if u.family not in P_fam:
+            P_fam[u.family] = prolongation_scipy(coarse_mesh, fine_mesh,
+                                                 u.family)
+        Pk = P_fam[u.family].tocoo()
+        pair = pairs.get(u.name, u.name)
+        if u.family != mark_family:
+            # non-biquadratic (incl. pressure): plain prolongation block —
+            # the reference's marks stay false for soltype != 2, and
+            # pressure is explicitly excluded (testIfPressure, .cpp:227)
+            rows_all.append(Pk.row + row_off[k])
+            cols_all.append(Pk.col + col_off[k])
+            vals_all.append(Pk.data)
+            continue
+        dmc = coarse_mesh.dofmap(u.family)
+        m_c = mc_node[dmc.nodes].astype(np.float64)
+        v_f = np.asarray(P_fam[u.family] @ m_c)
+        isolid_f = np.abs(v_f - 1.0) < 0.01
+        route = isolid_f[Pk.row] != (m_c[Pk.col] > 0.5)
+        # same-side entries stay in this variable's column block
+        rows_all.append(Pk.row[~route] + row_off[k])
+        cols_all.append(Pk.col[~route] + col_off[k])
+        vals_all.append(Pk.data[~route])
+        if pair != u.name:
+            # interface-crossing entries go to the PAIR's column block
+            kp = col_block[pair]
+            rows_all.append(Pk.row[route] + row_off[k])
+            cols_all.append(Pk.col[route] + col_off[kp])
+            vals_all.append(Pk.data[route])
+        # pair == self (DX/DY): crossing entries are zeroed (.cpp:117)
+    RRt = sp.csr_matrix((np.concatenate(vals_all),
+                         (np.concatenate(rows_all),
+                          np.concatenate(cols_all))),
+                        shape=(int(row_off[-1]), int(col_off[-1])))
+    RRt.sum_duplicates()
+    RRt.sort_indices()
+    return RRt
+
+
 def mask_prolongation(P: sp.spmatrix, row_mask, col_mask) -> sp.csr_matrix:
     """Zero the masked (essential/Dirichlet) rows and columns of a transfer
     operator.  CSR diagonal scaling — the LIL fancy-assignment form is
@@ -202,8 +292,13 @@ def mask_prolongation(P: sp.spmatrix, row_mask, col_mask) -> sp.csr_matrix:
     return Pm
 
 
-def op_pair_from_scipy(P: sp.csr_matrix, dtype=None) -> Tuple[SparseOp, SparseOp]:
-    """(P, P^T) as device ELL operators (restriction = transpose SpMV)."""
-    Pop, _ = op_from_scipy(P.astype(np.float64 if dtype is None else dtype))
-    Rop, _ = op_from_scipy(P.T.tocsr().astype(np.float64 if dtype is None else dtype))
+def op_pair_from_scipy(P: sp.csr_matrix, dtype=None,
+                       R: Optional[sp.spmatrix] = None
+                       ) -> Tuple[SparseOp, SparseOp]:
+    """(P, R) as device ELL operators; R defaults to P^T (Galerkin), or an
+    explicit Petrov-Galerkin restriction (FSI _RR)."""
+    dt = np.float64 if dtype is None else dtype
+    Pop, _ = op_from_scipy(P.astype(dt))
+    Rm = P.T.tocsr() if R is None else R.tocsr()
+    Rop, _ = op_from_scipy(Rm.astype(dt))
     return Pop, Rop

@@ -219,8 +219,14 @@ def make_fsi_system(levels: int = 4, smoother: str = "vanka",
         ml_sol.sol[l]["smark"][:] = solid_mark(mesh)[dm.nodes]
     ml_sol.attach_bc(bc_fsi)
     ml_sol.generate_bdc("DX", "DY", "U", "V", "P")
+    # reference fsiSteady apps: PairSolution("U","DX") / ("V","DY")
+    # (005_FSI/00_SteadyState/MG/fsiSteadyMG.cpp:252-253) — drives the
+    # Petrov-Galerkin _RR restriction
+    ml_sol.pair_solution("U", "DX")
+    ml_sol.pair_solution("V", "DY")
     prob = MultiLevelProblem(ml_mesh, ml_sol, quad_order="fifth")
     sys_ = prob.add_system(MonolithicFSISystem, "FSI")
+    sys_.solid_groups = (SOLID_GROUP,)
     sys_.add_unknown("DX", "DY", "U", "V", "P")
     sys_.add_aux_field("smark")
     sys_.set_assembly(fsi_form)

@@ -149,10 +149,13 @@ def build_local_bell(plan: HaloPlan, pattern: EllPattern,
         rp, cp = rows[sel], cols_blk.ravel().astype(np.int64)[sel]
         slots = np.flatnonzero(sel)                         # ELL slot per nnz
         per.append((rp, cp, slots))
-    # first pass learns per-shard block counts; second lays out every shard
-    # with the COMMON padded count so the stacked arrays shard_map cleanly
-    nb_max = max(ell_block_layout(rp, cp, slots, R, C, tile, R * w,
-                                  pad_blocks_to=1)[3]
+    # first pass learns per-shard block counts (a cheap unique over the
+    # (row-tile, col-block) keys — not a full ell_block_layout, which would
+    # rebuild the whole layout twice per shard); second pass lays out every
+    # shard with the COMMON padded count so the stacked arrays shard_map
+    # cleanly
+    nb_max = max(len(np.unique((rp // tile) * np.int64(-(-C // 128))
+                               + cp // 128)) if len(rp) else 1
                  for (rp, cp, slots) in per)
     nbp = -(-max(nb_max, 1) // 8) * 8
     block_ids = np.zeros((S, nbp), np.int32)

@@ -84,7 +84,8 @@ def make_sharded_step(assembler: Assembler, mesh: Mesh,
                       smoother: str = "jacobi",
                       aux_scalars: Optional[dict] = None,
                       use_halo: bool = True,
-                      local_format: str = "auto") -> Callable:
+                      local_format: str = "auto",
+                      mg_cycle: str = "V") -> Callable:
     """One jitted Newton/linear step with row/element sharding constraints.
 
     Returns step(u) -> (u_new, residual_norm); ``u`` is the padded stacked
@@ -136,7 +137,7 @@ def make_sharded_step(assembler: Assembler, mesh: Mesh,
         if transfers:
             h = build_hierarchy(A, list(transfers), smoother=smoother,
                                 dir_masks=list(dir_masks))
-            M = h.as_preconditioner("V")
+            M = h.as_preconditioner(mg_cycle)
         else:
             d = A.diagonal()
             dsafe = jnp.where(jnp.abs(d) < 1e-30, 1.0, d)

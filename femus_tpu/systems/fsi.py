@@ -112,13 +112,35 @@ def fsi_steady_form(disp=("dx", "dy"), vel=("u", "v"), pres: str = "p",
 
 
 class MonolithicFSISystem(NonLinearImplicitSystem):
-    """Nonlinear monolithic FSI system (steady).  The FSI-specific
-    prolongator (_RR restriction with fluid/solid pairing,
-    MonolithicFSINonLinearImplicitSystem.hpp:83-101) reduces, in the Galerkin
-    setting used here, to the standard block prolongation already built by
-    System.init; material-split smoother blocks come from
-    algebra.vanka.build_element_blocks over the partition-ordered elements."""
-    pass
+    """Nonlinear monolithic FSI system (steady) with the FSI-specific
+    Petrov-Galerkin transfer path (reference
+    ``MonolithicFSINonLinearImplicitSystem::BuildProlongatorMatrix``,
+    MonolithicFSINonLinearImplicitSystem.cpp:147-246): prolongation P stays
+    the plain block interpolant, but the restriction ``_RR`` routes
+    interface-crossing entries between paired variables (``PairSolution``,
+    e.g. U->DX) or drops them (self-paired DX/DY), and coarse operators are
+    the non-symmetric triple product ``R A P`` (matrix_ABC,
+    LinearImplicitSystem.cpp:348-352) instead of Galerkin PtAP.
+
+    ``solid_groups`` (element groups carrying the solid material, reference
+    material flag 4) must be set before ``init()``; pairs come from
+    ``ml_sol.pair_solution``.  Material-split smoother blocks come from
+    algebra.vanka.build_element_blocks over the partition-ordered elements
+    (cfg.vanka_groups = "material")."""
+
+    solid_groups: Sequence[int] = ()
+
+    def _make_transfer_pair(self, l: int):
+        from ..algebra.transfer import fsi_restriction_transpose
+        Pm, _ = super()._make_transfer_pair(l)
+        if not self.solid_groups and not self.ml_sol.pairs:
+            return Pm, None
+        RRt = fsi_restriction_transpose(
+            self.ml_mesh.levels[l], self.ml_mesh.levels[l + 1],
+            self.unknowns, self.ml_sol.pairs, self.solid_groups)
+        from ..algebra.transfer import mask_prolongation
+        RRtm = mask_prolongation(RRt, self.masks[l + 1], self.masks[l])
+        return Pm, RRtm.T.tocsr()
 
 
 def fsi_transient_form(disp=("dx", "dy"), vel=("u", "v"), pres: str = "p",

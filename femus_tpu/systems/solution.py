@@ -39,8 +39,18 @@ class MultiLevelSolution:
         self.bdc: List[Dict[str, np.ndarray]] = [dict() for _ in ml_mesh.levels]
         self.bdc_value: List[Dict[str, np.ndarray]] = [dict() for _ in ml_mesh.levels]
         self._bc_fn: Optional[Callable] = None
+        # FSI variable pairing (reference MultiLevelSolution::PairSolution,
+        # MultiLevelSolution.hpp:529): consumed by the monolithic-FSI
+        # Petrov-Galerkin restriction (transfer.fsi_restriction_transpose)
+        self.pairs: Dict[str, str] = {}
 
     # ------------------------------------------------------------------
+    def pair_solution(self, name: str, pair: str) -> None:
+        """PairSolution(name, pair) — route interface-crossing restriction
+        entries of ``name`` into ``pair``'s block (e.g. U->DX, V->DY)."""
+        assert name in self.vars and pair in self.vars
+        self.pairs[name] = pair
+
     def add_solution(self, name: str, family: str = "biquadratic",
                      time_order: int = 0) -> None:
         self.vars[name] = SolutionVar(name, family, time_order)

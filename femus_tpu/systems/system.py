@@ -50,8 +50,13 @@ class SolverConfig:
     # None = blocks sweep all elements; "material" = blocks never span two
     # element groups (reference MeshASMPartitioning block_type_range -- the
     # FSI fluid/solid split)
-    vanka_groups = None
+    vanka_groups: Optional[object] = None
     mg_type: str = "V"              # "V" | "F" (F = coarse-to-fine ratchet)
+    # cycle shape of ONE preconditioner application (reference MgType
+    # {V_CYCLE, F_CYCLE, M_CYCLE}, MgTypeEnum.hpp; PETSc PCMGSetCycleType in
+    # MGInit, LinearEquationSolverPetsc.cpp:185-210): "V" | "W" | "F"
+    # (F = full-MG: coarse solve first, then ascend with a V-cycle per level)
+    mg_cycle: str = "V"
     use_mg: bool = True
     # operator path (SURVEY.md §7 design inversion "two matrix paths"):
     # "assembled" = ELL data + PtAP Galerkin chain (reference semantics);
@@ -184,14 +189,8 @@ class System:
         pat_above = self.assemblers[-1].pattern
         self._transfer_cache: Dict[int, list] = {}
         for l in range(n_levels - 2, -1, -1):
-            P = block_diag_prolongation(self.ml_mesh.levels[l],
-                                        self.ml_mesh.levels[l + 1], self.unknowns)
-            self._P_raw = P
-            Pm = mask_prolongation(P, self.masks[l + 1], self.masks[l])
-            Pop, Rop = op_pair_from_scipy(Pm)
-            sched = build_ptap_schedule(pat_above, Pm)
-            self.transfers[l] = (Pop, Rop, sched)
-            pat_above = sched.coarse_pattern
+            self.transfers[l] = self._build_transfer(l, pat_above)
+            pat_above = self.transfers[l][2].coarse_pattern
         # F-cycle needs transfers consistent per sub-hierarchy: the PtAP chain
         # above is for the full finest pattern; per-level chains built lazily.
         self._step_fns: Dict[int, Callable] = {}
@@ -234,7 +233,10 @@ class System:
         cache = getattr(self, "_bell_plans", None)
         if cache is None:
             cache = self._bell_plans = {}
-        key = id(pattern)
+        # EllPattern is eq=False (identity hash), so the pattern object
+        # itself is the key — and the dict entry pins it alive, unlike an
+        # id() key that could be reused after garbage collection
+        key = pattern
         if key not in cache:
             from ..algebra.bell import build_bell_plan
             order = self.config.bell_order
@@ -244,6 +246,25 @@ class System:
                 plan = build_bell_plan(pattern)        # RCM rescue
             cache[key] = plan.device()
         return cache[key]
+
+    def _make_transfer_pair(self, l: int):
+        """Masked scipy (P, R) for level l -> l+1; R=None means P^T
+        (Galerkin).  ``MonolithicFSISystem`` overrides this with the FSI
+        Petrov-Galerkin restriction (_RR pairing)."""
+        P = block_diag_prolongation(self.ml_mesh.levels[l],
+                                    self.ml_mesh.levels[l + 1], self.unknowns)
+        self._P_raw = P
+        Pm = mask_prolongation(P, self.masks[l + 1], self.masks[l])
+        return Pm, None
+
+    def _build_transfer(self, l: int, pat_above):
+        """(P_op, R_op, coarse schedule) for level l -> l+1 against the
+        fine-side pattern ``pat_above`` (reference BuildProlongatorMatrix +
+        matrix_PtAP / matrix_ABC, LinearImplicitSystem.cpp:345-370)."""
+        Pm, Rm = self._make_transfer_pair(l)
+        Pop, Rop = op_pair_from_scipy(Pm, R=Rm)
+        sched = build_ptap_schedule(pat_above, Pm, R=Rm)
+        return (Pop, Rop, sched)
 
     def _transfers_for(self, level: int):
         """PtAP-chained transfers for a hierarchy whose finest level is
@@ -259,14 +280,8 @@ class System:
             tr = [None] * level
             pat_above = self.assemblers[level].pattern
             for l in range(level - 1, -1, -1):
-                P = block_diag_prolongation(self.ml_mesh.levels[l],
-                                            self.ml_mesh.levels[l + 1],
-                                            self.unknowns)
-                Pm = mask_prolongation(P, self.masks[l + 1], self.masks[l])
-                Pop, Rop = op_pair_from_scipy(Pm)
-                sched = build_ptap_schedule(pat_above, Pm)
-                tr[l] = (Pop, Rop, sched)
-                pat_above = sched.coarse_pattern
+                tr[l] = self._build_transfer(l, pat_above)
+                pat_above = tr[l][2].coarse_pattern
         self._transfer_cache[level] = tr
         return tr
 
@@ -396,7 +411,7 @@ class System:
                     ops, pr, smoother=cfg.smoother, n_pre=cfg.n_pre,
                     n_post=cfg.n_post, cheb_degree=cfg.cheb_degree,
                     vanka_blocks=vblocks_a, vanka_omega=cfg.vanka_omega)
-                M = h.as_preconditioner("V")
+                M = h.as_preconditioner(cfg.mg_cycle)
             elif transfers:
                 h = build_hierarchy(A, transfers_a, smoother=cfg.smoother,
                                     n_pre=cfg.n_pre, n_post=cfg.n_post,
@@ -407,7 +422,7 @@ class System:
                                     coarse_dense_max=cfg.coarse_dense_max_dofs,
                                     bell_plans=(None if bell_c_a is None
                                                 else list(bell_c_a) + [None]))
-                M = h.as_preconditioner("V")
+                M = h.as_preconditioner(cfg.mg_cycle)
             elif cfg.smoother == "vanka":
                 from ..algebra.vanka import vanka_smoother
                 sm = vanka_smoother(A, vblocks_a[0], omega=cfg.vanka_omega)
@@ -513,7 +528,7 @@ class System:
                     n_post=cfg.n_post, cheb_degree=cfg.cheb_degree,
                     dir_masks=dmasks_a[:-1] if dmasks_a else None,
                     vanka_blocks=vblocks_a, vanka_omega=cfg.vanka_omega)
-                M = h.as_preconditioner("V")
+                M = h.as_preconditioner(cfg.mg_cycle)
             else:
                 dsafe = jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
                 M = lambda r: r / dsafe
