@@ -73,7 +73,7 @@ def build_operator(n):
     return A, D, S, asm.pattern.nnz
 
 
-def _timed_sweep(op, matvec, iters):
+def _timed_sweep(op, matvec, iters, repeats=5, x=None):
     @jax.jit
     def sweep(op, x):
         def body(v, _):
@@ -82,26 +82,41 @@ def _timed_sweep(op, matvec, iters):
         y, _ = jax.lax.scan(body, x, None, length=iters)
         return y[:1]
 
-    x = jnp.ones(op.n_rows, jnp.float32)
+    if x is None:
+        x = jnp.ones(op.n_rows, jnp.float32)
     np.asarray(sweep(op, x))                  # compile + warm
-    best = np.inf
-    for _ in range(3):
+    times = []
+    for _ in range(repeats):
         t0 = time.perf_counter()
         np.asarray(sweep(op, x))              # forced fetch = real sync
-        best = min(best, time.perf_counter() - t0)
-    return best
+        times.append(time.perf_counter() - t0)
+    return times
 
 
-def bench_op(op, matvec, iters=100):
-    """Per-matvec seconds by the two-length slope method.
+LAST_SPREAD = {}
+
+
+def bench_op(op, matvec, iters=100, name=None, x=None):
+    """Per-matvec seconds by the two-length slope method, MEDIAN of >= 5
+    repeat slope estimates (the axon tunnel adds multi-ms jitter; a single
+    best-of-3 slope can swing +-15%).  The min/median/max slope spread is
+    recorded in LAST_SPREAD[name] and surfaced in the bench JSON so a
+    regression is distinguishable from tunnel variance.
 
     block_until_ready does NOT reliably synchronize through the axon
     tunnel (measured: constant ~0.15 ms regardless of scan length), so we
     force a host fetch and difference two scan lengths to cancel the
     ~20 ms dispatch+fetch latency."""
-    t_short = _timed_sweep(op, matvec, 10)
-    t_long = _timed_sweep(op, matvec, 10 + iters)
-    return max((t_long - t_short) / iters, 1e-9)
+    short = _timed_sweep(op, matvec, 10, x=x)
+    long_ = _timed_sweep(op, matvec, 10 + iters, x=x)
+    slopes = sorted(max((l - s) / iters, 1e-9)
+                    for l, s in zip(long_, short))
+    med = slopes[len(slopes) // 2]
+    if name is not None:
+        LAST_SPREAD[name] = {"min_us": round(slopes[0] * 1e6, 2),
+                             "med_us": round(med * 1e6, 2),
+                             "max_us": round(slopes[-1] * 1e6, 2)}
+    return med
 
 
 def bench_unstructured_ell():
@@ -116,7 +131,7 @@ def bench_unstructured_ell():
     u0 = jnp.asarray(ns_bench.initial_guess(asm, mesh), jnp.float32)
     _, data = assemble(u0, asm.device_tables())
     A = asm.op_with(data)
-    t = bench_op(A, lambda op, v: op @ v, iters=50)
+    t = bench_op(A, lambda op, v: op @ v, iters=50, name="ell")
     return asm.pattern.nnz / t
 
 
@@ -147,10 +162,15 @@ def bench_patch_spmv():
     return asm.pattern.nnz / t
 
 
-def bench_bell_unstructured():
+def bench_bell_unstructured(dtype=None, name="bell"):
     """Blocked-ELL SpMV (algebra/bell.py) on the same unstructured nsbenc NS
-    Jacobian the ELL metric uses — the general-unstructured TPU fast path
-    (identity ordering on the RCM-renumbered mesh; no per-matvec permutes)."""
+    Jacobian the ELL metric uses — the general-unstructured TPU fast path:
+    RCM-on-the-stacked-pattern ordering (interleaves the KKoffset variable
+    slabs), narrow C=32 packed blocks, fused windowed Pallas kernel,
+    measured FRAME-RESIDENT (solvers permute once at the boundaries via
+    to_frame/from_frame; a per-matvec permute would cost 2 n-gathers).
+    Also records the slab layout stats (bytes/nnz + the slab-traffic
+    roofline) so achieved-vs-bound is visible next to the number."""
     from femus_tpu.apps import ns_bench
     from femus_tpu.algebra.bell import build_bell_plan, relayout_ell
     from femus_tpu.mesh.reorder import rcm_reorder
@@ -160,10 +180,18 @@ def bench_bell_unstructured():
     assemble = jax.jit(asm.make_assemble_fn(pass_tables=True))
     u0 = jnp.asarray(ns_bench.initial_guess(asm, mesh), jnp.float32)
     _, data = assemble(u0, asm.device_tables())
-    plan = build_bell_plan(asm.pattern, perm="identity")
-    B = relayout_ell(plan, data)
-    t = bench_op(B, lambda op, v: op @ v, iters=300)
-    return asm.pattern.nnz / t
+    plan = build_bell_plan(asm.pattern)
+    B = relayout_ell(plan, data, dtype=dtype)
+    nnz = asm.pattern.nnz
+    isz = 2 if dtype is not None else 4
+    x0 = B.to_frame(jnp.ones(asm.pattern.n_rows, jnp.float32))
+    t = bench_op(B, lambda op, v: op.matvec_frame(v), iters=300,
+                 name=name, x=x0)
+    LAST_SPREAD[name]["slab_bytes_per_nnz"] = round(
+        plan.slab_bytes(isz) / nnz, 1)
+    LAST_SPREAD[name]["traffic_bound_gnnz_s"] = round(
+        nnz / (plan.slab_bytes(isz) / chip_bw()) / 1e9, 1)
+    return nnz / t
 
 
 def bench_mg_vcycle():
@@ -269,11 +297,11 @@ def main():
         # XLA-fused 2-D static-slice stencil: the fastest measured path
         # (fuses 25 shifted multiply-adds into one HBM pass over the
         # weights; ~75% of absolute HBM roofline)
-        t = bench_op(S, lambda op, v: op.matvec(v))
+        t = bench_op(S, lambda op, v: op.matvec(v), name="stencil_xla")
         results["stencil_xla"] = nnz / t
         try:
             from femus_tpu.algebra.stencil import spmv_stencil_pallas
-            t = bench_op(S, lambda op, v: spmv_stencil_pallas(op, v))
+            t = bench_op(S, lambda op, v: spmv_stencil_pallas(op, v), name="stencil_pallas")
             results["stencil_pallas"] = nnz / t
         except Exception:
             pass
@@ -311,6 +339,12 @@ def main():
         except Exception as e:
             extra["bell_unstructured_error"] = repr(e)[:120]
         try:
+            extra["bell_bf16_gnnz_s"] = round(
+                bench_bell_unstructured(jnp.bfloat16, name="bell_bf16")
+                / 1e9, 3)
+        except Exception as e:
+            extra["bell_bf16_error"] = repr(e)[:120]
+        try:
             extra["patch_spmv_gnnz_s"] = round(bench_patch_spmv() / 1e9, 3)
         except Exception as e:
             extra["patch_spmv_error"] = repr(e)[:120]
@@ -325,6 +359,8 @@ def main():
         except Exception as e:
             extra["mg_vcycle_error"] = repr(e)[:120]
 
+    if LAST_SPREAD:
+        extra["spread"] = LAST_SPREAD
     print(json.dumps({
         "metric": "spmv_nnz_per_s_per_chip",
         "value": round(nnz_per_s / 1e9, 3),

@@ -11,22 +11,34 @@ refined-patch numberings.  BELL covers everything else:
 - Reorder dofs by reverse Cuthill-McKee (host, setup time) so each row's
   neighbors land in a narrow index range (the reference gets locality for
   free from per-rank contiguous dofs, Mesh.hpp:534; here locality is what
-  converts sparsity into dense blocks).
-- Tile rows into groups of ``T`` (sublane-sized) and columns into 128-lane
-  blocks; store only the NONEMPTY (T, 128) tiles as a flat dense slab
-  ``blocks (nb, T, 128)`` plus per-block column-block ids.  On FEM
-  operators after RCM the slab holds the nnz at ~5-8% density, i.e. HBM
-  traffic ~7-9x the pure-ELL bytes — a ~100x win over scalar gathers.
-- SpMV: gather x one 128-lane BLOCK at a time (``x2d[block_ids]`` — a row
-  gather XLA lowers to efficient per-row DMA, unlike element gathers),
-  multiply-reduce each dense tile on the VPU, and combine the per-block
-  partial sums with a scatter-free sorted-segment reduction (cumsum +
-  boundary difference).
+  converts sparsity into dense blocks).  RCM over the STACKED multi-variable
+  pattern interleaves coupled variables of nearby nodes automatically,
+  collapsing the KKoffset slab-major spread (measured on the nsbenc NS
+  Jacobian: 110 -> 64 B/nnz at 128-wide blocks).
+- Tile rows into groups of ``T`` (sublane-sized) and columns into NARROW
+  ``C``-column blocks (default C=32: FEM row-neighbor clusters are ~30
+  columns wide, so 128-lane blocks waste ~4x slab traffic — measured
+  64 -> 26 B/nnz at C=32).  ``pack = 128 // C`` narrow blocks share one
+  128-lane physical slab row, keeping the VPU/MXU lanes full.
+- SpMV (Pallas, TPU): the dof ordering is banded, so each CHUNK of blocks
+  touches a narrow contiguous x window.  Per chunk: dynamic-slice the
+  window from the VMEM-resident x, gather the per-block C-wide x segments
+  with a one-hot matmul over the WINDOW (not the whole x — the routing
+  FLOPs shrink with the bandwidth, and x size no longer caps the kernel),
+  multiply the dense slab chunk, and reduce each C-lane group.  Per-block
+  partial sums combine with a scatter-free sorted-segment reduction
+  (cumsum + boundary difference).
+- Slab dtype follows the assembled data; bf16 slabs (f32 x / f32
+  accumulate) halve the dominant traffic term for preconditioner-grade
+  matvecs (use tile=16 so bf16 sublanes stay full).
 
 Assembled ELL data re-lays out into the slab with ONE scatter of the n*w
 ELL entries per assembly (relayout_*; amortized over the Krylov solve).
 The operator quacks like SparseOp for matvec/diagonal so smoothers, MG
-cycles, and Krylov consume it unchanged.
+cycles, and Krylov consume it unchanged.  When the plan carries a
+permutation, ``matvec`` pays two n-element frame gathers; solvers that run
+entirely in the permuted frame should use ``to_frame``/``from_frame`` once
+at the boundaries and ``matvec_frame`` inside (see SolverConfig.bell_order).
 """
 from __future__ import annotations
 
@@ -39,14 +51,14 @@ import numpy as np
 
 from .sparse import EllPattern
 
-# Pallas kernel geometry: blocks per grid step, and the VMEM residency cap
-# for the x vector.  Budget at the cap (v5e ~16 MiB VMEM): one-hot routing
-# matmul chunk*nxb*4 = 4 MiB, resident x 1 MiB, double-buffered slab chunks
-# 2 x 2 MiB, output small -> ~9.5 MiB head-room; 4096 xblocks would put the
-# one-hot intermediate alone at 8 MiB and overflow at exactly the largest
-# auto-routed sizes
-_CHUNK = 512
-_PALLAS_MAX_XBLOCKS = 2048
+# Pallas kernel geometry: packed slab rows per grid step, the one-hot
+# window cap (in col-block units), and the VMEM residency cap for x.
+# VMEM budget per step (v5e ~16 MiB): slab chunk _CHUNK*T*128*4 = 1 MiB
+# (double-buffered 2 MiB), one-hot (_CHUNK*pack, W) <= 1024*512*4 = 2 MiB,
+# resident x <= 4 MiB, window/partials small.
+_CHUNK = 256
+_MAX_WIN = 512
+_PALLAS_MAX_X_ELEMS = 1 << 20
 
 
 def rcm_permutation(pattern: EllPattern) -> np.ndarray:
@@ -74,22 +86,33 @@ class BellPlan:
     n: int                    # logical dof count (= pattern.n_rows)
     tile: int                 # rows per block (T)
     n_tiles: int
-    n_xblocks: int            # 128-lane blocks covering permuted x
+    n_xblocks: int            # col-blocks (C-wide) covering permuted x
+    col_block: int            # C: columns per block (128 // pack)
     perm: np.ndarray          # (n,) new -> old dof index
     iperm: np.ndarray         # (n,) old -> new dof index
-    block_ids: np.ndarray     # (nb,) column-block id per dense block
+    block_ids: np.ndarray     # (nb_pad,) col-block id per block (C units)
     tile_start: np.ndarray    # (n_tiles + 1,) block range per row tile
-    dest: np.ndarray          # (n*width,) blocks-flat index per ELL slot
+    dest: np.ndarray          # (n*width,) slab-flat index per ELL slot
                               #            (out of bounds for padding slots)
-    diag_src: np.ndarray      # (n,) blocks-flat index of each row's diagonal
-    nb: int                   # logical (nonempty) block count; block_ids is
-                              # padded to a _CHUNK multiple
+    diag_src: np.ndarray      # (n,) slab-flat index of each row's diagonal
+    nb: int                   # logical (nonempty) block count
+    win_start: np.ndarray     # (n_chunks,) x-window start per chunk (C units)
+    win: int                  # one-hot window width (C units, 128-padded)
+    tile_ids: np.ndarray      # (nb_pad,) row-tile id per block
+    twin_start: np.ndarray    # (n_chunks,) tile-window start per chunk
+    twin: int                 # tile-window width (8-padded)
+    chunk: int                # packed slab rows per Pallas grid step
+    tile_widths: tuple = ()   # per-chunk tile-range widths (static)
 
     @property
     def identity(self) -> bool:
         """True when no reordering was applied (skips permute gathers)."""
         return bool(self.perm[0] == 0 and self.perm[-1] == self.n - 1
                     and np.array_equal(self.perm, np.arange(self.n)))
+
+    @property
+    def pack(self) -> int:
+        return 128 // self.col_block
 
     @property
     def n_blocks(self) -> int:
@@ -101,9 +124,17 @@ class BellPlan:
         return int(self.block_ids.shape[0])
 
     @property
+    def slab_rows(self) -> int:
+        """Physical (T, 128) slab rows = n_blocks_pad // pack."""
+        return self.n_blocks_pad // self.pack
+
+    def slab_bytes(self, itemsize: int = 4) -> int:
+        return self.slab_rows * self.tile * 128 * itemsize
+
+    @property
     def nnz_bytes_ratio(self) -> float:
         """Slab bytes / ideal ELL bytes (value+index) — the traffic price."""
-        return (self.n_blocks_pad * self.tile * 128 * 4) / (len(self.dest) * 8)
+        return self.slab_bytes() / (len(self.dest) * 8)
 
     def device(self) -> "BellDev":
         """Cached device-array view (see :class:`BellDev`)."""
@@ -115,15 +146,18 @@ class BellPlan:
                 jnp.asarray(self.dest), jnp.asarray(self.diag_src),
                 None if ident else jnp.asarray(self.perm),
                 None if ident else jnp.asarray(self.iperm),
-                self.n, self.tile, self.n_xblocks, self.n_blocks)
-            assert self.n_blocks_pad % _CHUNK == 0
+                jnp.asarray(self.win_start),
+                jnp.asarray(self.tile_ids), jnp.asarray(self.twin_start),
+                self.n, self.tile, self.n_xblocks, self.col_block,
+                self.n_blocks, self.win, self.twin, self.n_tiles,
+                self.chunk, self.tile_widths)
             object.__setattr__(self, "_dev", dev)
         return dev
 
 
 def ell_block_layout(rp, cp, slots, n_rows: int, n_cols: int, tile: int,
                      n_slots: int, nb_pad: int = None,
-                     pad_blocks_to: int = None):
+                     pad_blocks_to: int = None, col_block: int = 128):
     """Shared blocked-layout core (used by the square BELL plan here and the
     per-shard rectangular halo layout, parallel/halo.build_local_bell).
 
@@ -133,31 +167,37 @@ def ell_block_layout(rp, cp, slots, n_rows: int, n_cols: int, tile: int,
     relayout scatter).  Returns (block_ids, tile_start, dest, nb,
     dest_nnz): block_ids padded to ``nb_pad`` (or the next multiple of
     ``pad_blocks_to``), dest (n_slots,), dest_nnz the slab position per
-    nnz entry (for diagonal extraction)."""
-    nxb = -(-n_cols // 128)
+    nnz entry (for diagonal extraction).  ``col_block`` C < 128 packs
+    ``128 // C`` narrow blocks per physical 128-lane slab row; slab-flat
+    destinations account for the packing."""
+    C = col_block
+    pack = 128 // C
+    nxb = -(-n_cols // C)
     n_tiles = -(-n_rows // tile)
-    key = (rp // tile) * np.int64(nxb) + cp // 128
+    key = (rp // tile) * np.int64(nxb) + cp // C
     uniq, inv = np.unique(key, return_inverse=True)
     nb = len(uniq)
     if nb_pad is None:
-        pad_blocks_to = pad_blocks_to or _CHUNK
+        pad_blocks_to = pad_blocks_to or (_CHUNK * pack)
         nb_pad = -(-max(nb, 1) // pad_blocks_to) * pad_blocks_to
-    assert nb_pad >= nb
+    assert nb_pad >= nb and nb_pad % pack == 0
     block_ids = np.pad((uniq % nxb).astype(np.int32), (0, nb_pad - nb))
     tile_start = np.searchsorted(uniq // nxb,
                                  np.arange(n_tiles + 1)).astype(np.int32)
-    dest_nnz = (inv.astype(np.int64) * tile + rp % tile) * 128 + cp % 128
-    dest = nb_pad * tile * 128 + np.arange(n_slots, dtype=np.int64)
+    b = inv.astype(np.int64)
+    dest_nnz = ((b // pack * tile + rp % tile) * 128
+                + (b % pack) * C + cp % C)
+    dest = (nb_pad // pack) * tile * 128 + np.arange(n_slots, dtype=np.int64)
     dest[slots] = dest_nnz
     return block_ids, tile_start, dest, nb, dest_nnz
 
 
 def bell_local_matvec(blocks, block_ids, tile_start, x_ext, n_rows: int,
-                      n_cols: int, nb: int):
-    """XLA-form blocked matvec core: ``blocks (nbp, T, 128)`` against an
-    extended-frame vector ``x_ext (n_cols,)``; the first ``nb`` logical
-    blocks participate.  Shared by BellOp.matvec_xla and the per-shard halo
-    matvec (parallel/halo.make_halo_spmv_bell).
+                      n_cols: int, nb: int, col_block: int = 128):
+    """XLA-form blocked matvec core: ``blocks (slab_rows, T, 128)`` against
+    an extended-frame vector ``x_ext (n_cols,)``; the first ``nb`` logical
+    (C-wide) blocks participate.  Shared by BellOp.matvec_xla and the
+    per-shard halo matvec (parallel/halo.make_halo_spmv_bell).
 
     Precision note: the scatter-free segment reduction (global cumsum +
     boundary differences) accumulates a running sum across ALL tiles, so in
@@ -167,32 +207,106 @@ def bell_local_matvec(blocks, block_ids, tile_start, x_ext, n_rows: int,
     discretization error; for standalone f32 use, prefer
     ``jax.ops.segment_sum`` over per-block tile ids if bit-accuracy
     matters more than the ~2x reduction-cost advantage of the cumsum."""
+    C = col_block
+    pack = 128 // C
     T = blocks.shape[1]
-    nxb = -(-n_cols // 128)
-    xp = jnp.zeros(nxb * 128, x_ext.dtype).at[:n_cols].set(x_ext)
-    xg = xp.reshape(nxb, 128)[block_ids[:nb]]
-    yb = jnp.einsum("btk,bk->bt", blocks[:nb], xg,
-                    preferred_element_type=x_ext.dtype)
-    # sorted-segment sum over each tile's block run, scatter-free:
-    # cumulative sum + difference at the tile boundaries
+    nxb = -(-n_cols // C)
+    acc = jnp.promote_types(x_ext.dtype, jnp.float32)
+    xp = jnp.zeros(nxb * C, x_ext.dtype).at[:n_cols].set(x_ext)
+    # one C-wide row gather per block, packed along lanes like the slab
+    xg = xp.reshape(nxb, C)[block_ids]                 # (nb_pad, C)
+    xg = xg.reshape(-1, pack * C)                      # (slab_rows, 128)
+    prod = blocks * xg[:, None, :]                     # (slab_rows, T, 128)
+    if pack == 1:
+        yb = prod.sum(axis=-1, dtype=acc)              # (slab_rows, T)
+        yb = yb.reshape(-1, T)
+    else:
+        yb = prod.reshape(prod.shape[0], T, pack, C).sum(axis=-1, dtype=acc)
+        yb = yb.transpose(0, 2, 1).reshape(-1, T)      # (nb_pad, T)
     cs = jnp.concatenate([jnp.zeros((1, T), yb.dtype),
-                          jnp.cumsum(yb, axis=0)], axis=0)
+                          jnp.cumsum(yb[:nb], axis=0)], axis=0)
     yt = cs[tile_start[1:]] - cs[tile_start[:-1]]
-    return yt.reshape(-1)[:n_rows]
+    return yt.reshape(-1)[:n_rows].astype(x_ext.dtype)
 
 
-def build_bell_plan(pattern: EllPattern, tile: int = 8,
-                    perm=None) -> BellPlan:
+def _chunk_windows(block_ids: np.ndarray, nb: int, pack: int,
+                   n_xblocks: int, chunk: int = _CHUNK
+                   ) -> Tuple[np.ndarray, int]:
+    """Per-chunk x-window starts + common (padded) width for the Pallas
+    kernel.  Chunks cover ``_CHUNK`` physical slab rows = _CHUNK*pack
+    blocks; after RCM/banded ordering each chunk touches a narrow
+    contiguous range of col-blocks."""
+    per = chunk * pack
+    n_chunks = len(block_ids) // per
+    starts = np.zeros(n_chunks, np.int32)
+    width = 1
+    for c in range(n_chunks):
+        ids = block_ids[c * per:min((c + 1) * per, nb)]
+        if len(ids) == 0:
+            continue
+        starts[c] = ids.min()
+        width = max(width, int(ids.max()) - int(ids.min()) + 1)
+    win = -(-width // 128) * 128
+    lim = max(n_xblocks, win)
+    starts = np.minimum(starts, lim - win).astype(np.int32)
+    return starts, win
+
+
+def _tile_aligned_cuts(tile_start: np.ndarray, nb: int, per: int):
+    """Cut the (tile-major sorted) block list into chunks of <= ``per``
+    blocks that BEGIN at row-tile boundaries, so every tile belongs to
+    exactly one chunk: the kernel then reduces block partials straight
+    onto (tile, row) slots with a windowed one-hot matmul and the chunk
+    outputs concatenate with STATIC slices — no gathers, no seam adds."""
+    cuts = [0]
+    while cuts[-1] < nb:
+        limit = cuts[-1] + per
+        if limit >= nb:
+            cuts.append(nb)
+            break
+        j = np.searchsorted(tile_start, limit, side="right") - 1
+        cut = int(tile_start[j])
+        if cut <= cuts[-1]:          # one tile wider than a whole chunk
+            cut = limit              # (degenerate; falls back to a seam)
+        cuts.append(cut)
+    return np.asarray(cuts, np.int64)
+
+
+def build_bell_plan(pattern: EllPattern, tile: int = 16,
+                    perm=None, col_block: int = 32) -> BellPlan:
     """Blocked-ELL layout of ``pattern``.
 
-    ``perm``: None -> RCM ordering (densest blocks, but the operator then
-    pays two n-element permutation gathers per matvec — ~2x slab traffic at
-    realistic sizes); "identity" -> no permutation (fastest matvec; block
-    density relies on the dof numbering being local, e.g. lattice meshes,
-    patch-coherent refinement, or a mesh passed through
-    ``mesh.reorder.rcm_reorder``); or an explicit (n,) ordering array."""
+    ``perm``: None -> RCM ordering (densest blocks; run solves in the
+    permuted frame via ``matvec_frame`` to avoid two n-element permutation
+    gathers per matvec); "identity" -> no permutation (block density relies
+    on the dof numbering being local, e.g. lattice meshes, patch-coherent
+    refinement, or a mesh passed through ``mesh.reorder.rcm_reorder`` —
+    note the stacked KKoffset variable slabs still spread each row across
+    all variable blocks, so RCM-on-the-pattern beats identity on
+    multi-variable systems); or an explicit (n,) ordering array.
+
+    ``col_block`` C: columns per block.  FEM rows cluster in ~30-column
+    neighbor groups, so C=32 (pack=4 per 128-lane slab row) carries ~2x
+    less slab traffic than C=128 on the nsbenc NS Jacobian even after the
+    row padding below; C=128 reproduces the classic layout.
+
+    ``tile`` T: rows per block; 16 amortizes the per-chunk routing work
+    over twice the slab bytes of T=8 and measures fastest for both f32 and
+    bf16 slabs on v5e (fewer grid steps at slightly more row padding).
+
+    Layout invariants (what the fused kernel relies on):
+    - blocks sorted (row-tile, col-block); each TILE's block run is padded
+      to a multiple of ``pack``, so one physical 128-lane slab row never
+      mixes tiles -> the reduction is a full-lane row sum + one windowed
+      one-hot tile matmul (no narrow-lane slicing);
+    - slab rows are cut into fixed ``chunk`` grid steps at tile
+      boundaries, so chunks own disjoint tile ranges and their outputs
+      concatenate with static slices;
+    - each chunk's blocks touch a contiguous x window (banded ordering),
+      gathered by one-hot matmuls over the window only."""
     n = pattern.n_rows
     assert pattern.n_cols == n, "BELL expects a square operator"
+    assert 128 % col_block == 0
     if isinstance(perm, str) and perm == "identity":
         perm = np.arange(n, dtype=np.int64)
     elif perm is None:
@@ -205,14 +319,98 @@ def build_bell_plan(pattern: EllPattern, tile: int = 8,
     rp = iperm[rows]
     cp = iperm[pattern.indices]
 
-    n_tiles = -(-n // tile)
-    n_xblocks = -(-n // 128)
-    # slab layout + relayout destinations (blocks padded to the Pallas
-    # kernel chunk so the grid divides with no per-matvec pad copies;
-    # padding blocks stay all-zero)
-    block_ids, tile_start, dest, nb, dest_csr = ell_block_layout(
-        rp, cp, pattern.csr_to_ell_slots(), n, n, tile, n * pattern.width)
-    size = (len(block_ids)) * tile * 128
+    C = col_block
+    pack = 128 // C
+    T = tile
+    n_tiles = -(-n // T)
+    n_xblocks = -(-n // C)
+    chunk = _CHUNK
+
+    key = (rp // T) * np.int64(n_xblocks) + cp // C
+    uniq, inv = np.unique(key, return_inverse=True)
+    nb = len(uniq)
+    tid0 = (uniq // n_xblocks).astype(np.int64)
+    bid0 = (uniq % n_xblocks).astype(np.int32)
+    # pad each tile's block run to a pack multiple -> single-tile slab rows
+    tiles_u, tstartb = np.unique(tid0, return_index=True)
+    cnt = np.diff(np.append(tstartb, nb))
+    rows_pt = -(-cnt // pack)                      # slab rows per tile
+    row_off = np.concatenate([[0], np.cumsum(rows_pt)]).astype(np.int64)
+    rank = np.arange(nb, dtype=np.int64) - np.repeat(tstartb, cnt)
+    pb1 = np.repeat(row_off[:-1] * pack, cnt) + rank
+    nrows1 = int(row_off[-1])
+    rowtile = np.repeat(tiles_u, rows_pt)          # (nrows1,) tile per row
+    # chunk cuts in row units at tile boundaries
+    cuts = [0]
+    while cuts[-1] < nrows1:
+        limit = cuts[-1] + chunk
+        if limit >= nrows1:
+            cuts.append(nrows1)
+            break
+        j = np.searchsorted(row_off, limit, side="right") - 1
+        cut = int(row_off[j])
+        if cut <= cuts[-1]:            # one tile wider than a whole chunk
+            cut = limit                # degenerate seam; kernel disabled
+        cuts.append(cut)
+    cuts = np.asarray(cuts, np.int64)
+    n_chunks = max(len(cuts) - 1, 1)
+    sr = n_chunks * chunk
+    # physical row of each padded row index
+    chunk_of_r = np.searchsorted(cuts, np.arange(nrows1), side="right") - 1
+    shift = np.arange(n_chunks, dtype=np.int64) * chunk - cuts[:-1]
+    pr_of = np.arange(nrows1, dtype=np.int64) + shift[chunk_of_r]
+    pb = pr_of[pb1 // pack] * pack + pb1 % pack    # final block position
+    # relayout destinations per ELL slot
+    prb = pb[inv]
+    dest_nnz = ((prb // pack) * T + rp % T) * 128 + (prb % pack) * C + cp % C
+    dest = sr * T * 128 + np.arange(n * pattern.width, dtype=np.int64)
+    dest[pattern.csr_to_ell_slots()] = dest_nnz
+    dest_csr = dest_nnz
+    # per-chunk x windows + tile ranges (tb) with static widths
+    win_start = np.zeros(n_chunks, np.int32)
+    win = 1
+    tb = np.zeros(n_chunks + 1, np.int64)
+    tb[n_chunks] = n_tiles
+    seam = False
+    tid_by_row = np.zeros(sr, np.int32)
+    bid_per_block = np.zeros(sr * pack, np.int32)
+    bid_per_block[pb] = bid0
+    for c in range(n_chunks):
+        lo, hi = int(cuts[c]), int(cuts[c + 1])
+        if hi > lo:
+            blk_lo = np.searchsorted(pb1 // pack, lo, side="left")
+            blk_hi = np.searchsorted(pb1 // pack, hi, side="left")
+            ids = bid0[blk_lo:blk_hi]
+            if len(ids):
+                win_start[c] = ids.min()
+                win = max(win, int(ids.max()) - int(ids.min()) + 1)
+            tb[c] = 0 if c == 0 else rowtile[lo]
+            if c > 0 and rowtile[lo - 1] >= rowtile[lo]:
+                seam = True
+        else:
+            tb[c] = 0 if c == 0 else tb[c - 1]
+    win = -(-win // 128) * 128
+    win_start = np.minimum(win_start, max(n_xblocks, win) - win)
+    widths = np.diff(tb)
+    twin = -(-max(int(widths.max()) if len(widths) else 1, 1) // 8) * 8
+    # a seam would double-emit / drop the split tile: disable the fused
+    # kernel (matvec falls back to the XLA path) — unreachable for FEM
+    # bandwidths, reachable only with >chunk rows of blocks in one tile
+    if seam:
+        twin = 1 << 30
+    twin_start = tb[:-1].astype(np.int32)
+    tile_widths = tuple(int(w) for w in widths)
+    # padding blocks/rows index their chunk's window starts (zero values)
+    pad_mask = np.ones(sr * pack, bool)
+    pad_mask[pb] = False
+    pad_idx = np.flatnonzero(pad_mask)
+    bid_per_block[pad_idx] = win_start[pad_idx // (chunk * pack)]
+    row_pad = np.ones(sr, bool)
+    row_pad[pr_of] = False
+    tid_by_row[pr_of] = rowtile.astype(np.int32)
+    rpad_idx = np.flatnonzero(row_pad)
+    tid_by_row[rpad_idx] = twin_start[rpad_idx // chunk]
+    size = sr * T * 128
     # diagonal slab positions per (new-order) row; rows without a diagonal
     # pattern entry (e.g. pure padding rows) read a guaranteed-zero hole
     diag_rows_new = rp[cp == rp]
@@ -229,8 +427,11 @@ def build_bell_plan(pattern: EllPattern, tile: int = 8,
         missing[diag_rows_new] = False
         diag[missing] = hole
     diag = diag[iperm]               # new-row order -> original row order
-    return BellPlan(n, tile, n_tiles, n_xblocks, perm, iperm, block_ids,
-                    tile_start, dest, diag, nb)
+    tile_start = np.concatenate([[0], np.cumsum(
+        np.bincount(tid0, minlength=n_tiles))]).astype(np.int64)
+    return BellPlan(n, T, n_tiles, n_xblocks, C, perm, iperm,
+                    bid_per_block, tile_start, dest, diag, nb, win_start,
+                    win, tid_by_row, twin_start, twin, chunk, tile_widths)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -241,25 +442,45 @@ class BellDev:
     the HLO and stall XLA constant folding, like the transfer schedules in
     systems/system.py)."""
 
-    block_ids: jnp.ndarray     # (nb,) int32
+    block_ids: jnp.ndarray     # (nb_pad,) int32
     tile_start: jnp.ndarray    # (n_tiles + 1,) int32
     dest: jnp.ndarray          # (n*width,) int64 relayout destinations
     diag_src: jnp.ndarray      # (n,) int64
     perm: Optional[jnp.ndarray]    # None = identity ordering
     iperm: Optional[jnp.ndarray]
+    win_start: jnp.ndarray     # (n_chunks,) int32
+    tile_ids: jnp.ndarray      # (nb_pad,) int32
+    twin_start: jnp.ndarray    # (n_chunks,) int32
     n: int
     tile: int
     n_xblocks: int
-    n_blocks: int              # logical; block_ids/slab are padded to _CHUNK
+    col_block: int
+    n_blocks: int              # logical; block_ids/slab are padded
+    win: int
+    twin: int
+    n_tiles: int
+    chunk: int
+    tile_widths: tuple
+
+    @property
+    def pack(self) -> int:
+        return 128 // self.col_block
 
     @property
     def n_blocks_pad(self) -> int:
         return int(self.block_ids.shape[0])
 
+    @property
+    def slab_rows(self) -> int:
+        return self.n_blocks_pad // self.pack
+
     def tree_flatten(self):
         return ((self.block_ids, self.tile_start, self.dest, self.diag_src,
-                 self.perm, self.iperm),
-                (self.n, self.tile, self.n_xblocks, self.n_blocks))
+                 self.perm, self.iperm, self.win_start, self.tile_ids,
+                 self.twin_start),
+                (self.n, self.tile, self.n_xblocks, self.col_block,
+                 self.n_blocks, self.win, self.twin, self.n_tiles,
+                 self.chunk, self.tile_widths))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -271,7 +492,7 @@ class BellDev:
 class BellOp:
     """Device BELL operator (blocks slab + device plan arrays)."""
 
-    blocks: jnp.ndarray        # (nb, T, 128)
+    blocks: jnp.ndarray        # (slab_rows, T, 128)
     dev: BellDev
 
     def tree_flatten(self):
@@ -289,19 +510,31 @@ class BellOp:
     def n_cols(self) -> int:
         return self.dev.n
 
-    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+    # -- frame helpers: run whole solves in the permuted (banded) frame --
+    def to_frame(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x if self.dev.perm is None else x[self.dev.perm]
+
+    def from_frame(self, xf: jnp.ndarray) -> jnp.ndarray:
+        return xf if self.dev.iperm is None else xf[self.dev.iperm]
+
+    def matvec_frame(self, xf: jnp.ndarray) -> jnp.ndarray:
+        """y_frame = A_frame x_frame — no permutation gathers; use with
+        ``to_frame``/``from_frame`` at the solve boundaries."""
         # auto-route ONLY on TPU: the kernel's pltpu memory spaces do not
         # lower on other backends (GPU etc. fall back to the XLA form)
-        if (jax.default_backend() == "tpu"
-                and self.dev.n_xblocks <= _PALLAS_MAX_XBLOCKS):
-            return spmv_bell_pallas(self, x)
-        return self.matvec_xla(x)
+        p = self.dev
+        if (jax.default_backend() == "tpu" and p.n <= _PALLAS_MAX_X_ELEMS
+                and p.win <= _MAX_WIN and p.twin <= 4096):
+            return _spmv_bell_pallas_frame(self, xf)
+        return _matvec_xla_frame(self, xf)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.from_frame(self.matvec_frame(self.to_frame(x)))
 
     def matvec_xla(self, x: jnp.ndarray) -> jnp.ndarray:
         p = self.dev
         xin = x if p.perm is None else x[p.perm]
-        y_new = bell_local_matvec(self.blocks, p.block_ids, p.tile_start,
-                                  xin, p.n, p.n, p.n_blocks)
+        y_new = _matvec_xla_frame(self, xin)
         return y_new if p.iperm is None else y_new[p.iperm]
 
     def __matmul__(self, x):
@@ -311,16 +544,33 @@ class BellOp:
         return self.blocks.reshape(-1)[self.dev.diag_src]
 
 
-def relayout_ell(plan, ell_data: jnp.ndarray) -> BellOp:
+def _matvec_xla_frame(op: "BellOp", xf: jnp.ndarray) -> jnp.ndarray:
+    """XLA path of the square BELL matvec (frame-resident): one C-wide row
+    gather per block, full-lane row sums (slab rows are single-tile by
+    construction), segment-sum over the per-row tile ids."""
+    p = op.dev
+    C, pack, T = p.col_block, p.pack, p.tile
+    acc = jnp.promote_types(xf.dtype, jnp.float32)
+    xp = jnp.zeros(p.n_xblocks * C, xf.dtype).at[:p.n].set(xf)
+    xg = xp.reshape(p.n_xblocks, C)[p.block_ids]         # (sr*pack, C)
+    xg = xg.reshape(p.slab_rows, pack * C)               # (sr, 128)
+    rowsum = (op.blocks * xg[:, None, :]).sum(axis=-1, dtype=acc)  # (sr, T)
+    yt = jax.ops.segment_sum(rowsum, p.tile_ids, num_segments=p.n_tiles)
+    return yt.reshape(-1)[:p.n].astype(xf.dtype)
+
+
+def relayout_ell(plan, ell_data: jnp.ndarray, dtype=None) -> BellOp:
     """Scatter assembled ELL data into the BELL slab (one n*w scatter;
     ELL padding slots carry out-of-bounds destinations and are dropped).
-    ``plan``: a host :class:`BellPlan` or its :class:`BellDev`."""
+    ``plan``: a host :class:`BellPlan` or its :class:`BellDev`.
+    ``dtype``: slab storage dtype (e.g. jnp.bfloat16 halves the dominant
+    traffic term; x and the accumulate stay in the ambient precision)."""
     dev = plan.device() if isinstance(plan, BellPlan) else plan
-    nbp = dev.n_blocks_pad
-    slab = jnp.zeros(nbp * dev.tile * 128, ell_data.dtype)
+    dt = ell_data.dtype if dtype is None else dtype
+    slab = jnp.zeros(dev.slab_rows * dev.tile * 128, dt)
     slab = slab.at[dev.dest].set(
-        ell_data.reshape(-1), mode="drop", unique_indices=True)
-    return BellOp(slab.reshape(nbp, dev.tile, 128), dev)
+        ell_data.reshape(-1).astype(dt), mode="drop", unique_indices=True)
+    return BellOp(slab.reshape(dev.slab_rows, dev.tile, 128), dev)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -375,71 +625,104 @@ class BellBackedOp:
 
 
 # ---------------------------------------------------------------------------
-# Pallas fused BELL SpMV: one kernel for gather + tile matvecs.
+# Pallas fused BELL SpMV: windowed gather + packed tile matvecs.
 #
-# The XLA path issues ~10 kernels per matvec (pad, row-gather, einsum,
-# cumsum, boundary diff, slice) whose launch overheads and HBM-materialized
-# intermediates (xg, yb) cost more than the slab streaming itself at these
-# sizes.  The fused kernel streams the blocks slab through VMEM in chunks,
-# keeps the WHOLE x vector resident in VMEM (FEM dof vectors are tiny next
-# to the slab), and realizes the x block-gather as a one-hot MXU matmul
-# (bids == iota) — the same routing trick as the patch-stencil skeleton.
-# Only the cheap sorted-segment reduction (cumsum + boundary diff over
-# (nb, T)) stays outside.
+# The XLA path issues ~10 kernels per matvec (pad, row-gather, multiply,
+# reduce, cumsum, boundary diff, slice) whose launch overheads and
+# HBM-materialized intermediates cost more than the slab streaming itself.
+# The fused kernel streams the slab through VMEM in chunks, keeps x
+# resident in VMEM, and realizes the per-block C-wide x gather as a
+# one-hot matmul over each chunk's narrow column WINDOW (scalar-prefetched
+# start per chunk) — the routing FLOPs scale with the matrix bandwidth,
+# not with n.  Only the cheap sorted-segment reduction (cumsum + boundary
+# diff over (nb, T)) stays outside.
 # ---------------------------------------------------------------------------
 
-def spmv_bell_pallas(op: BellOp, x: jnp.ndarray) -> jnp.ndarray:
-    """y = A x on the BELL slab via the fused Pallas kernel.
-
-    Falls back to the XLA path when x is too large to sit in VMEM
-    (n_xblocks > _PALLAS_MAX_XBLOCKS) — the launch overheads amortize away
-    at that scale anyway.  The slab arrives pre-padded to a _CHUNK multiple
-    (build_bell_plan), so the grid divides with no per-call copies."""
+def _spmv_bell_pallas_frame(op: BellOp, xf: jnp.ndarray) -> jnp.ndarray:
+    """y_frame = A x_frame on the BELL slab via the fused windowed kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     p = op.dev
-    if p.n_xblocks > _PALLAS_MAX_XBLOCKS:
-        return op.matvec_xla(x)
-    dtype = x.dtype
-    nb, nbp, T, nxb = p.n_blocks, p.n_blocks_pad, p.tile, p.n_xblocks
-    chunk = _CHUNK
+    dtype = xf.dtype
+    C, pack, T = p.col_block, p.pack, p.tile
+    W, WT, CH = p.win, p.twin, p.chunk
+    sr = p.slab_rows
+    n_chunks = sr // CH
+    nxb_pad = max(p.n_xblocks, W)
+    x2d = jnp.zeros(nxb_pad * C, dtype).at[:p.n].set(xf).reshape(nxb_pad, C)
 
-    xin = x if p.perm is None else x[p.perm]
-    x2d = jnp.zeros(nxb * 128, dtype).at[:p.n].set(xin).reshape(nxb, 128)
+    def kernel(starts_ref, tstarts_ref, bids_ref, tids_ref, x_ref,
+               blocks_ref, yt_ref):
+        g = pl.program_id(0)
+        s = starts_ref[g]
+        t0 = tstarts_ref[g]
+        lid = bids_ref[:] - s                                    # (CH, pack)
+        xw = x_ref[pl.ds(s, W), :]                               # (W, C)
+        iw = jax.lax.broadcasted_iota(jnp.int32, (CH, W), 1)
+        # per packed slot q: one-hot gather of the C-wide x segment over
+        # the chunk's column window (HIGHEST everywhere: the MXU's default
+        # bf16 passes would round both the gathered x values and the
+        # accumulated sums)
+        segs = []
+        for q in range(pack):
+            oh = (lid[:, q:q + 1] == iw).astype(dtype)           # (CH, W)
+            segs.append(jnp.dot(oh, xw, preferred_element_type=dtype,
+                                precision=jax.lax.Precision.HIGHEST))
+        xg = segs[0] if pack == 1 else jnp.concatenate(segs, axis=1)
+        prod = blocks_ref[:].astype(dtype) * xg[:, None, :]      # (CH, T, 128)
+        # slab rows are single-tile: full-lane row sums + one windowed
+        # one-hot tile matmul reduce straight onto (tile, row) slots
+        rowsum = prod.sum(axis=-1)                               # (CH, T)
+        ltid = tids_ref[:, 0] - t0                               # (CH,)
+        # lane-iota form: ttT (CH, WT) compares against a LANE iota (a
+        # sublane iota would force a costly relayout); contract over the
+        # CH sublane dim on both sides (A^T B matmul)
+        it = jax.lax.broadcasted_iota(jnp.int32, (CH, WT), 1)
+        ttT = (ltid[:, None] == it).astype(dtype)                # (CH, WT)
+        yt_ref[0] = jax.lax.dot_general(
+            ttT, rowsum, (((0,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST)
 
-    def kernel(bids_ref, x_ref, blocks_ref, yb_ref):
-        bid = bids_ref[0, :]                                    # (chunk,)
-        oh = (bid[:, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (chunk, nxb), 1)).astype(dtype)
-        # HIGHEST: the MXU's default bf16 passes would round the gathered x
-        # values (the one-hot matmul must reproduce x exactly)
-        xg = jnp.dot(oh, x_ref[:], preferred_element_type=dtype,
-                     precision=jax.lax.Precision.HIGHEST)       # (chunk, 128)
-        yb_ref[:] = (blocks_ref[:] * xg[:, None, :]).sum(axis=-1)
-
-    yb = pl.pallas_call(
+    yt = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nbp, T), dtype),
-        grid=(nbp // chunk,),
-        in_specs=[
-            pl.BlockSpec((1, chunk), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nxb, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, T, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((chunk, T), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )(p.block_ids[None, :], x2d, op.blocks)
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((CH, pack), lambda i, s, t: (i, 0)),
+                pl.BlockSpec((CH, 1), lambda i, s, t: (i, 0)),
+                pl.BlockSpec((nxb_pad, C), lambda i, s, t: (0, 0)),
+                pl.BlockSpec((CH, T, 128), lambda i, s, t: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, WT, T), lambda i, s, t: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, WT, T), dtype),
+    )(p.win_start, p.twin_start, p.block_ids.reshape(sr, pack),
+      p.tile_ids.reshape(sr, 1), x2d, op.blocks)
 
-    cs = jnp.concatenate([jnp.zeros((1, T), dtype),
-                          jnp.cumsum(yb[:nb], axis=0)], axis=0)
-    ts = p.tile_start
-    yt = cs[ts[1:]] - cs[ts[:-1]]
-    y_new = yt.reshape(-1)[:p.n]
-    return y_new if p.iperm is None else y_new[p.iperm]
+    # chunks own disjoint tile ranges (tile-aligned cuts): their outputs
+    # concatenate with STATIC slices — no gathers, no dynamic updates
+    pieces = [yt[c, :w] for c, w in enumerate(p.tile_widths) if w > 0]
+    out = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
+    return out.reshape(-1)[:p.n]
+
+
+def spmv_bell_pallas(op: BellOp, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A x on the BELL slab via the fused Pallas kernel (with the
+    plan's frame permutations applied at the boundaries).
+
+    Falls back to the XLA path when x is too large to sit in VMEM
+    (n > _PALLAS_MAX_X_ELEMS) or a chunk's column window exceeds _MAX_WIN
+    (non-banded ordering).  The slab arrives pre-padded to a chunk multiple
+    (build_bell_plan), so the grid divides with no per-call copies."""
+    p = op.dev
+    if p.n > _PALLAS_MAX_X_ELEMS or p.win > _MAX_WIN:
+        return op.matvec_xla(x)
+    xf = x if p.perm is None else x[p.perm]
+    yf = _spmv_bell_pallas_frame(op, xf)
+    return yf if p.iperm is None else yf[p.iperm]
 
 
 def bell_backed(plan, op) -> BellBackedOp:

@@ -171,6 +171,22 @@ def _factor_blocks(A: SparseOp, dofs, slots, n):
     return jax.scipy.linalg.lu_factor(Ab), rows_valid
 
 
+def _invert_blocks(A: SparseOp, dofs, slots, n):
+    """Explicit batched block inverses.  LU triangular SOLVES are
+    sequential scalar-ish code on TPU and run once per smoother
+    application (per color, per cycle, per Krylov iteration); an explicit
+    inverse costs one extra batched solve at operator-build time and turns
+    every application into a batched (nb, bs, bs) x (nb, bs) MXU matmul.
+    Blocks are small element patches (bs ~ 30-150), where the inverse's
+    extra rounding is far below smoother accuracy requirements."""
+    (lu, piv), rows_valid = _factor_blocks(A, dofs, slots, n)
+    bs = dofs.shape[1]
+    eye = jnp.broadcast_to(jnp.eye(bs, dtype=lu.dtype),
+                           (lu.shape[0], bs, bs))
+    Ainv = jax.scipy.linalg.lu_solve((lu, piv), eye)
+    return Ainv, rows_valid
+
+
 def vanka_smoother(A: SparseOp, blocks: VankaBlocks, omega: float = 1.0,
                    iters: int = 1, multiplicative: bool = True):
     """smooth(b, x) -> x.
@@ -186,16 +202,16 @@ def vanka_smoother(A: SparseOp, blocks: VankaBlocks, omega: float = 1.0,
     if multiplicative:
         per_color = []
         for d, s in zip(blocks.color_dofs, blocks.color_slots):
-            (lu, piv), rows_valid = _factor_blocks(A, d, s, n)
-            per_color.append((d, lu, piv, rows_valid))
+            Ainv, rows_valid = _invert_blocks(A, d, s, n)
+            per_color.append((d, Ainv, rows_valid))
 
         def smooth(b, x):
             def body(x, _):
-                for d, lu, piv, rows_valid in per_color:
+                for d, Ainv, rows_valid in per_color:
                     r = b - A @ x
                     rpad = jnp.concatenate([r, jnp.zeros(1, r.dtype)])
                     rb = rpad[d] * rows_valid
-                    delta = jax.scipy.linalg.lu_solve((lu, piv), rb[:, :, None])[:, :, 0]
+                    delta = jnp.einsum("bij,bj->bi", Ainv, rb)
                     upd = jnp.zeros(n + 1, x.dtype).at[d.ravel()].add(
                         (delta * rows_valid).ravel())
                     x = x + omega * upd[:n]
@@ -209,14 +225,14 @@ def vanka_smoother(A: SparseOp, blocks: VankaBlocks, omega: float = 1.0,
     dofs = jnp.concatenate(blocks.color_dofs)
     slots = jnp.concatenate(blocks.color_slots)
     scale = jnp.asarray(blocks.scale)
-    (lu, piv), rows_valid = _factor_blocks(A, dofs, slots, n)
+    Ainv, rows_valid = _invert_blocks(A, dofs, slots, n)
 
     def smooth(b, x):
         def body(x, _):
             r = b - A @ x
             rpad = jnp.concatenate([r, jnp.zeros(1, r.dtype)])
             rb = rpad[dofs] * rows_valid                # (nb, bs)
-            delta = jax.scipy.linalg.lu_solve((lu, piv), rb[:, :, None])[:, :, 0]
+            delta = jnp.einsum("bij,bj->bi", Ainv, rb)
             upd = jnp.zeros(n + 1, x.dtype).at[dofs.ravel()].add(
                 (delta * rows_valid).ravel())
             return x + omega * scale * upd[:n], None

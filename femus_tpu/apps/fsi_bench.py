@@ -189,14 +189,22 @@ def var_norm(asm: Assembler, u: np.ndarray, name: str) -> float:
 
 
 def make_fsi_system(levels: int = 4, smoother: str = "vanka",
-                    rtol: float = 1e-8):
+                    rtol: float = 1e-8, max_lin_iters: int = 0,
+                    max_nonlinear: int = 15):
     """The testFSISteady drive through the framework's OWN solver stack
     (reference main.cpp:100-146: F-cycle Newton over a ``levels``-deep
     uniformly refined hierarchy of fsifirst.neu, each linear solve an
-    MG-preconditioned GMRES with material-split Vanka (ASM) smoothers —
+    MG-preconditioned GMRES with material-split Vanka (ASM) smoothers and
+    the FSI Petrov-Galerkin _RR restriction / R A P coarse operators —
     MonolithicFSINonLinearImplicitSystem + MeshASMPartitioning
     block_type_range — and a dense coarse solve).  No external
     factorization anywhere.
+
+    ``max_lin_iters`` > 0 caps each linear solve like the reference gate
+    does (testFSISteady main.cpp:124 ``SetTolerances(1e-12, 1e-20, 1e50,
+    20)`` — max 20 GMRES iterations per Newton step, i.e. INEXACT Newton
+    riding the F-cycle ratchet; the golden norms' stored tolerances absorb
+    the looser linear solves).
 
     Returns (problem, system); ``system.solve()`` runs the full F-cycle
     ratchet and records per-step GMRES counts in ``system.history``.
@@ -236,9 +244,13 @@ def make_fsi_system(levels: int = 4, smoother: str = "vanka",
     cfg.mg_type = "F"
     cfg.use_mg = True
     cfg.rtol = rtol
-    cfg.restart = 60
-    cfg.max_outer = 20
+    if max_lin_iters > 0:
+        cfg.restart = max_lin_iters
+        cfg.max_outer = 1
+    else:
+        cfg.restart = 60
+        cfg.max_outer = 20
     cfg.nonlinear_tol = 1e-9
-    cfg.max_nonlinear = 15
+    cfg.max_nonlinear = max_nonlinear
     sys_.init()
     return prob, sys_
