@@ -19,3 +19,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the quick gate is compile-dominated on CPU
+# (hundreds of distinct jitted solve graphs); repeat runs hit the cache
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

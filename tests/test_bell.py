@@ -113,7 +113,10 @@ def test_bell_operator_vanka_ns():
     from femus_tpu.systems.system import NonLinearImplicitSystem
 
     def make(operator):
-        ml_mesh = MultiLevelMesh(unit_box((4, 4), "quad"), 3)
+        # 2 levels / few Newton steps: the gate is bell == assembled through
+        # the system MG path, which 2 levels already exercise (the 3-level
+        # variant added ~6 min of CPU compile+solve for no extra coverage)
+        ml_mesh = MultiLevelMesh(unit_box((4, 4), "quad"), 2)
         ml_sol = MultiLevelSolution(ml_mesh)
         ml_sol.add_solution("u", "biquadratic")
         ml_sol.add_solution("v", "biquadratic")
@@ -139,7 +142,7 @@ def test_bell_operator_vanka_ns():
         sys.config.smoother = "vanka"
         sys.config.rtol = 1e-9
         sys.config.operator = operator
-        sys.config.max_nonlinear = 8
+        sys.config.max_nonlinear = 4
         sys.init()
         info = sys.solve()
         return np.asarray(ml_sol.sol[-1]["u"]), info

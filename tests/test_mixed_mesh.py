@@ -89,6 +89,7 @@ def test_mixed_assembly_matches_scipy_union():
     assert abs(A - A.T).max() < 1e-11
 
 
+@pytest.mark.slow
 def test_mixed_poisson_convergence_order():
     errs = []
     for ns in (4, 8):

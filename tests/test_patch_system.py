@@ -18,8 +18,11 @@ def exact(x):
     return jnp.sin(pi * x[:, 0]) * jnp.sin(pi * x[:, 1])
 
 
+@pytest.mark.slow
 def test_patch3d_operator_mg_solve():
-    """Same MG drive with the 3-D hex patch operator."""
+    """Same MG drive with the 3-D hex patch operator (slow: the 3-D patch
+    machinery compile dominates; the quick tier keeps the 2-D MG drive and
+    the 3-D patch matvec equivalences in test_patchstencil3d)."""
     ml_mesh = PatchedMultiLevelMesh(unit_box((2, 2, 2), "hex"), 2)
     assert ml_mesh.levels[1].patch_plan is not None
     ml_sol = MultiLevelSolution(ml_mesh)
