@@ -85,7 +85,8 @@ def make_sharded_step(assembler: Assembler, mesh: Mesh,
                       aux_scalars: Optional[dict] = None,
                       use_halo: bool = True,
                       local_format: str = "auto",
-                      mg_cycle: str = "V") -> Callable:
+                      mg_cycle: str = "V",
+                      with_aux: bool = False) -> Callable:
     """One jitted Newton/linear step with row/element sharding constraints.
 
     Returns step(u) -> (u_new, residual_norm); ``u`` is the padded stacked
@@ -122,9 +123,9 @@ def make_sharded_step(assembler: Assembler, mesh: Mesh,
         else:
             halo_spmv, _ = make_halo_spmv(plan, mesh, axis)
 
-    def step(u):
+    def step(u, aux_fields=None):
         u = jax.lax.with_sharding_constraint(u, vec_sh)
-        R, data = assemble(u, {}, scalars)
+        R, data = assemble(u, aux_fields if with_aux else {}, scalars)
         R = jax.lax.with_sharding_constraint(R, vec_sh)
         data = jax.lax.with_sharding_constraint(data, row_sh)
         A = assembler.op_with(data)
@@ -151,7 +152,13 @@ def make_sharded_step(assembler: Assembler, mesh: Mesh,
         u_new = jax.lax.with_sharding_constraint(u + delta, vec_sh)
         return u_new, info.residual
 
-    return jax.jit(step,
+    if with_aux:
+        # aux fields (e.g. the theta-scheme old solution) ride replicated
+        rep = NamedSharding(mesh, P())
+        return jax.jit(step,
+                       in_shardings=(shard_rows(mesh), rep),
+                       out_shardings=(shard_rows(mesh), None))
+    return jax.jit(lambda u: step(u),
                    in_shardings=shard_rows(mesh),
                    out_shardings=(shard_rows(mesh), None))
 

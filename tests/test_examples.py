@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.abspath(EX_DIR))
     ("ex07_uq_pce", {}),
     ("ex08_tumor_diffusion", {"EX_LEVELS": "2", "EX_STEPS": "3"}),
     ("ex09_amr_mg", {"EX_N": "4", "EX_CYCLES": "2"}),
+    ("ex10_sharded_transient_particles", {"EX_N": "6", "EX_STEPS": "4"}),
 ])
 def test_example_runs(mod, env, monkeypatch, capsys, tmp_path):
     for k, v in env.items():
