@@ -23,6 +23,27 @@ from .sparse import SparseOp
 from .transfer import PtAPSchedule
 
 
+def krylov_smoother(A, M_inner: Callable, m: int = 5):
+    """Per-level KRYLOV smoother: ``m`` fixed GMRES(m) iterations on the
+    level residual, right-preconditioned by one inner sweep (e.g. a Vanka
+    block sweep).  This is the reference's per-level smoother design —
+    ``MGSetLevel`` installs a KSP (GMRES/Richardson + PC) on every level
+    (LinearEquationSolverPetsc.cpp:219-288) — and, unlike a bare
+    stationary block sweep, it is residual-MINIMIZING: a Vanka sweep that
+    would amplify on a stiff saddle point (measured: >2 sweeps per level
+    DIVERGE on the steady-FSI operator) becomes an unconditionally stable
+    smoother inside the Krylov envelope."""
+    from .krylov import fgmres
+
+    def smooth(b, x):
+        r = b - A @ x
+        d, _ = fgmres(lambda v: A @ v, r, M=M_inner, tol=1e-30,
+                      restart=m, max_restarts=1)
+        return x + d
+
+    return smooth
+
+
 @dataclasses.dataclass
 class MGLevel:
     A: SparseOp
@@ -40,13 +61,21 @@ class MGHierarchy:
     n_post: int = 2
     coarse_dense: Optional[jnp.ndarray] = None   # LU-factorable dense coarse A
     compute_dtype: Optional[jnp.dtype] = None    # mixed-precision cycle dtype
+    coarse_lu: Optional[tuple] = None            # cached per-trace LU factors
 
     def setup_coarse(self):
         self.coarse_dense = self.levels[0].A.to_dense()
+        self.coarse_lu = None
 
     def coarse_solve(self, b):
         if self.coarse_dense is not None:
-            return jnp.linalg.solve(self.coarse_dense, b)
+            # NOTE: an explicit lu_factor-once + lu_solve-per-apply hoist
+            # was MEASURED SLOWER on TPU (88 vs 68 ms NS Newton step): XLA
+            # already CSEs the factorization across the cycle applications
+            # of one traced step, and jax.scipy's explicit lu_solve lowers
+            # to a worse triangular-solve path than linalg.solve's
+            bd = b.astype(self.coarse_dense.dtype)
+            return jnp.linalg.solve(self.coarse_dense, bd).astype(b.dtype)
         lv = self.levels[0]
         x = jnp.zeros_like(b)
         for _ in range(20):
@@ -185,6 +214,7 @@ def build_hierarchy_from_ops(ops: Sequence[SparseOp],
                              jacobi_omega: float = 0.8, cheb_degree: int = 3,
                              vanka_blocks: Optional[Sequence] = None,
                              vanka_omega: float = 0.9,
+                             krylov_m: int = 5,
                              compute_dtype=None) -> MGHierarchy:
     """Hierarchy from EXPLICIT per-level operators (coarsest first) —
     the non-Galerkin / rediscretized-coarse mode: each level's operator is
@@ -239,6 +269,7 @@ def build_hierarchy(fine_op: SparseOp,
                     dir_masks: Optional[Sequence] = None,
                     vanka_blocks: Optional[Sequence] = None,
                     vanka_omega: float = 0.9,
+                    krylov_m: int = 5,
                     compute_dtype=None,
                     coarse_dense_max: Optional[int] = None,
                     bell_plans: Optional[Sequence] = None) -> MGHierarchy:
@@ -289,10 +320,15 @@ def build_hierarchy(fine_op: SparseOp,
         diag = A.diagonal()
         # guard zero diagonals (e.g. pressure block) for smoother scaling
         safe = jnp.where(jnp.abs(diag) < 1e-30, 1.0, diag)
-        if (smoother == "vanka" and vanka_blocks is not None
+        if (smoother in ("vanka", "vanka_gmres")
+                and vanka_blocks is not None
                 and vanka_blocks[l] is not None):
             from .vanka import vanka_smoother
             sm = vanka_smoother(A, vanka_blocks[l], omega=vanka_omega)
+            if smoother == "vanka_gmres":
+                sm = krylov_smoother(
+                    A, (lambda r, _s=sm: _s(r, jnp.zeros_like(r))),
+                    m=krylov_m)
         elif smoother == "jacobi":
             sm = jacobi_smoother(A.matvec, safe, jacobi_omega, iters=1)
         else:
@@ -309,4 +345,5 @@ def build_hierarchy(fine_op: SparseOp,
         # bf16 dense solves are unsupported/inaccurate; fp32 minimum
         cd = (jnp.float32 if compute_dtype == jnp.bfloat16 else compute_dtype)
         h.coarse_dense = h.coarse_dense.astype(cd)
+        h.coarse_lu = None
     return h

@@ -78,10 +78,18 @@ class PtAPSchedule:
     # constants: fine-level coarse patterns reach ~10M entries)
     coarse_cols: Optional[jnp.ndarray] = None
     coarse_valid: Optional[jnp.ndarray] = None
+    # (n_out + 1,) triplet range per coarse slot (dst is sorted, so the
+    # boundaries are STATIC): the apply reduces with one cumsum + boundary
+    # differences instead of segment_sum — 5x faster on TPU (the scatter
+    # path costs ~7.6 ms vs 1.4 ms on the nsbenc L2 schedule).  The global
+    # cumsum costs a few low digits in f32 (like algebra/bell.py's
+    # reduction note); the coarse operator is preconditioner-side, and the
+    # f64 CPU/golden paths are unaffected
+    ends: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         return ((self.src, self.dst, self.coeff, self.coarse_cols,
-                 self.coarse_valid), (self.coarse_pattern,))
+                 self.coarse_valid, self.ends), (self.coarse_pattern,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -91,8 +99,14 @@ class PtAPSchedule:
         """fine ELL data (nr, w) -> coarse ELL data (nrc, wc)."""
         contrib = self.coeff * fine_data.ravel()[self.src]
         nrc, wc = self.coarse_pattern.n_rows, self.coarse_pattern.width
-        out = jax.ops.segment_sum(contrib, self.dst, num_segments=nrc * wc,
-                                  indices_are_sorted=True)
+        if self.ends is not None:
+            cs = jnp.concatenate([jnp.zeros(1, contrib.dtype),
+                                  jnp.cumsum(contrib)])
+            out = cs[self.ends[1:]] - cs[self.ends[:-1]]
+        else:
+            out = jax.ops.segment_sum(contrib, self.dst,
+                                      num_segments=nrc * wc,
+                                      indices_are_sorted=True)
         return out.reshape(nrc, wc)
 
 
@@ -186,12 +200,16 @@ def build_ptap_schedule(fine_pattern: EllPattern, P: sp.csr_matrix,
         src = src.astype(np.int32)
     if dst.size == 0 or dst.max() < 2 ** 31:
         dst = dst.astype(np.int32)
+    n_out = cpat.n_rows * cpat.width
+    ends = np.searchsorted(dst, np.arange(n_out + 1)).astype(
+        np.int32 if len(dst) < 2 ** 31 else np.int64)
     return PtAPSchedule(cpat,
                         jnp.asarray(src),
                         jnp.asarray(dst),
                         jnp.asarray(coeff[order].astype(dtype)),
                         jnp.asarray(cpat.cols),
-                        jnp.asarray(cpat.valid))
+                        jnp.asarray(cpat.valid),
+                        jnp.asarray(ends))
 
 
 def fsi_restriction_transpose(coarse_mesh, fine_mesh, unknowns,

@@ -161,7 +161,7 @@ def make_temperature_system(prob, smoother: str = "vanka",
 
 
 def make_ns_system(levels: int = 4, smoother: str = "vanka",
-                   rtol: float = 1e-8):
+                   rtol: float = 1e-8, interleave: bool = False):
     """The testNSSteadyDD drive through the framework's OWN solver stack
     (reference main.cpp:33-46 + LinearEquationSolverPetsc.cpp:294-353):
     ``levels``-deep uniformly refined hierarchy on nsbenc.neu, F-cycle
@@ -177,6 +177,12 @@ def make_ns_system(levels: int = 4, smoother: str = "vanka",
     from ..systems.system import NonLinearImplicitSystem
 
     ml_mesh = MultiLevelMesh(read_neu(MESH), levels)
+    if interleave:
+        # RCM node numbering per level + node-major interleaved stacked
+        # layout: the assembled pattern is banded, so the BELL fast path
+        # gets dense narrow blocks with NO per-matvec permutes
+        from ..mesh.reorder import rcm_reorder_hierarchy
+        rcm_reorder_hierarchy(ml_mesh)
     ml_sol = MultiLevelSolution(ml_mesh)
     ml_sol.add_solution("U", "biquadratic")
     ml_sol.add_solution("V", "biquadratic")
@@ -199,5 +205,6 @@ def make_ns_system(levels: int = 4, smoother: str = "vanka",
     cfg.restart = 60
     cfg.max_outer = 10
     cfg.nonlinear_tol = 1e-9
+    cfg.interleave_dofs = interleave
     sys_.init()
     return prob, sys_

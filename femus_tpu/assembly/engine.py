@@ -345,12 +345,26 @@ class Assembler:
     """Assembles residual + Jacobian for a set of unknowns on one mesh level."""
 
     def __init__(self, mesh, unknowns: Sequence[Unknown], quad_order="fifth",
-                 dtype=None, pad_dofs_to: int = 1, pad_elems_to: int = 1):
+                 dtype=None, pad_dofs_to: int = 1, pad_elems_to: int = 1,
+                 interleave: bool = False):
         """pad_dofs_to / pad_elems_to: round row and element counts up to a
         multiple (device-mesh axis size) — padding rows become identity
         (Dirichlet-style) and padding elements scatter out-of-bounds with
         mode='drop', so sharded shapes stay divisible without affecting the
-        algebra."""
+        algebra.
+
+        interleave=True replaces the slab-major stacked layout with a
+        NODE-MAJOR one: the physical position of logical dof (var k, idx i)
+        follows the mesh entity it lives on (node for Lagrange families,
+        owning element's last node for element-wise families), so coupled
+        variables of one node sit adjacent and the assembled pattern is
+        banded when the mesh numbering is (e.g. RCM) local — the layout the
+        blocked-ELL fast path wants, with NO per-matvec permutes.  The
+        KKoffset block offsets stay the LOGICAL interface: callers keep
+        addressing per-variable slices and ``set_dirichlet`` keeps taking
+        logical arrays; ``stack_perm`` (logical -> physical) is applied
+        once at the edofs/mask funnels (VERDICT r3: "a permutation layer
+        at assembly time keeps offsets logical")."""
         self.mesh = mesh
         self.unknowns = list(unknowns)
         self.dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
@@ -375,6 +389,28 @@ class Assembler:
             loc += dm.conn.shape[1]
         self.ndt = loc
         self.edofs = np.concatenate(parts, axis=1).astype(np.int32)
+        # node-major interleave: permute the stacked index space ONCE here —
+        # every downstream structure (pattern, slots, scatter rows, Vanka
+        # blocks, BELL plans) inherits the physical layout automatically
+        self.stack_perm = None
+        if interleave and len(unknowns) > 1:
+            keys = np.empty(self.n_dofs, np.int64)
+            for u in unknowns:
+                dm = self.dofmaps[u.name]
+                off = self.offsets[u.name]
+                nodes = np.asarray(dm.nodes)
+                if (nodes >= 0).all():
+                    keys[off:off + dm.n_dofs] = 2 * nodes.astype(np.int64)
+                else:
+                    # element-wise dofs anchor after their element's last node
+                    npp = dm.n_dofs // mesh.n_elems
+                    anchor = mesh.conn.max(axis=1).astype(np.int64)
+                    keys[off:off + dm.n_dofs] =                         2 * np.repeat(anchor, npp) + 1
+            order = np.argsort(keys, kind="stable")   # logical, phys-ordered
+            sp_ = np.empty(self.n_dofs, np.int64)
+            sp_[order] = np.arange(self.n_dofs)
+            self.stack_perm = sp_.astype(np.int32)
+            self.edofs = self.stack_perm[self.edofs]
         # ---- sparsity pattern + ELL slots ------------------------------
         ne = mesh.n_elems
         def _round_up(x, m):
@@ -468,14 +504,21 @@ class Assembler:
 
     # ------------------------------------------------------------------
     def set_dirichlet(self, mask: np.ndarray, values: Optional[np.ndarray] = None) -> None:
-        """Install Dirichlet mask/values (sized n_dofs), preserving padding rows."""
+        """Install Dirichlet mask/values (sized n_dofs, LOGICAL offsets
+        layout), preserving padding rows.  With an interleaved stacked
+        layout the arrays are permuted into the physical frame here."""
         m = np.zeros(self.n_dofs_pad, bool)
-        m[:self.n_dofs] = mask[:self.n_dofs]
+        v = np.zeros(self.n_dofs_pad)
+        if self.stack_perm is not None:
+            m[self.stack_perm] = mask[:self.n_dofs]
+            if values is not None:
+                v[self.stack_perm] = values[:self.n_dofs]
+        else:
+            m[:self.n_dofs] = mask[:self.n_dofs]
+            if values is not None:
+                v[:self.n_dofs] = values[:self.n_dofs]
         m[self.n_dofs:] = True
         self.dirichlet_mask = m
-        v = np.zeros(self.n_dofs_pad)
-        if values is not None:
-            v[:self.n_dofs] = values[:self.n_dofs]
         self.dirichlet_values = v
         self._tables_cache = None
 

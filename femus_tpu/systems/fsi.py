@@ -132,15 +132,13 @@ class MonolithicFSISystem(NonLinearImplicitSystem):
 
     def _make_transfer_pair(self, l: int):
         from ..algebra.transfer import fsi_restriction_transpose
-        Pm, _ = super()._make_transfer_pair(l)
+        P, _ = super()._make_transfer_pair(l)
         if not self.solid_groups and not self.ml_sol.pairs:
-            return Pm, None
+            return P, None
         RRt = fsi_restriction_transpose(
             self.ml_mesh.levels[l], self.ml_mesh.levels[l + 1],
             self.unknowns, self.ml_sol.pairs, self.solid_groups)
-        from ..algebra.transfer import mask_prolongation
-        RRtm = mask_prolongation(RRt, self.masks[l + 1], self.masks[l])
-        return Pm, RRtm.T.tocsr()
+        return P, RRt.T.tocsr()
 
 
 def fsi_transient_form(disp=("dx", "dy"), vel=("u", "v"), pres: str = "p",

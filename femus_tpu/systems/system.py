@@ -40,13 +40,19 @@ class SolverConfig:
     atol: float = 1e-50
     restart: int = 30
     max_outer: int = 20             # GMRES restarts / CG maxiter scale
-    smoother: str = "chebyshev"     # "chebyshev" | "jacobi" | "vanka"
+    smoother: str = "chebyshev"     # "chebyshev" | "jacobi" | "vanka" |
+                                    # "vanka_gmres" (Krylov-wrapped sweep)
     n_pre: int = 2
     n_post: int = 2
     cheb_degree: int = 3
-    # vanka/ASM block smoother (reference FEMuS_ASM + SetElementBlockNumber)
+    # vanka/ASM block smoother (reference FEMuS_ASM + SetElementBlockNumber);
+    # "vanka_gmres" wraps the block sweep in m fixed GMRES iterations per
+    # level — the reference's per-level KSP smoother (MGSetLevel,
+    # LinearEquationSolverPetsc.cpp:219-288); unconditionally stable on
+    # stiff saddle points where bare sweeps amplify
     vanka_block_elems: int = 2
     vanka_omega: float = 0.9
+    krylov_m: int = 5               # inner iterations of "vanka_gmres"
     # None = blocks sweep all elements; "material" = blocks never span two
     # element groups (reference MeshASMPartitioning block_type_range -- the
     # FSI fluid/solid split)
@@ -94,6 +100,12 @@ class SolverConfig:
     # LinearEquationSolverPetsc.cpp:236-239); dofs below this threshold are
     # solved densely on-device instead of by preconditioned Krylov
     coarse_direct_max_dofs: int = 20000
+    # node-major interleaved stacked layout (assembly/engine.py
+    # ``interleave``): banded patterns for the BELL fast path with no
+    # per-matvec permutes; logical per-variable offsets stay the API.
+    # Incompatible with operator="patch"/"matrix_free" and
+    # coarse_op="rediscretize" (those paths address raw slabs)
+    interleave_dofs: bool = False
     # nonlinear
     max_nonlinear: int = 15
     nonlinear_tol: float = 1e-8
@@ -159,8 +171,13 @@ class System:
                 "operator='patch' needs coarse_op='rediscretize'"
             assert self.config.smoother in ("jacobi", "chebyshev"), \
                 "operator='patch': jacobi/chebyshev smoothers only"
+        if self.config.interleave_dofs:
+            assert self.config.operator in ("assembled", "bell") and \
+                self.config.coarse_op == "galerkin", \
+                "interleave_dofs needs assembled/bell operators + Galerkin"
         for l, mesh in enumerate(self.ml_mesh.levels):
-            a = Assembler(mesh, self.unknowns, quad_order=self.problem.quad_order)
+            a = Assembler(mesh, self.unknowns, quad_order=self.problem.quad_order,
+                          interleave=self.config.interleave_dofs)
             a.set_volume_form(self.volume_form)
             if (self.config.operator == "patch"
                     and getattr(mesh, "patch_plan", None) is not None):
@@ -205,14 +222,21 @@ class System:
             off = a.offsets[u.name]
             s = self.ml_sol.sol[level][u.name]
             out[off:off + len(s)] = s
+        if a.stack_perm is not None:          # logical -> physical
+            phys = np.zeros(a.n_dofs)
+            phys[a.stack_perm] = out
+            return phys
         return out
 
     def scatter(self, x: np.ndarray, level: int = -1) -> None:
         a = self.assemblers[level]
+        x = np.asarray(x)
+        if a.stack_perm is not None:          # physical -> logical
+            x = x[a.stack_perm]
         for u in self.unknowns:
             off = a.offsets[u.name]
             n = self.ml_sol.n_dofs(u.name, level)
-            self.ml_sol.sol[level][u.name][:] = np.asarray(x[off:off + n])
+            self.ml_sol.sol[level][u.name][:] = x[off:off + n]
 
     def _aux_arrays(self, level: int) -> Dict[str, jnp.ndarray]:
         out = {}
@@ -248,20 +272,43 @@ class System:
         return cache[key]
 
     def _make_transfer_pair(self, l: int):
-        """Masked scipy (P, R) for level l -> l+1; R=None means P^T
-        (Galerkin).  ``MonolithicFSISystem`` overrides this with the FSI
-        Petrov-Galerkin restriction (_RR pairing)."""
+        """RAW (unmasked, logical-layout) scipy (P, R) for level l -> l+1;
+        R=None means P^T (Galerkin).  ``MonolithicFSISystem`` overrides
+        this with the FSI Petrov-Galerkin restriction (_RR pairing).
+        ``_build_transfer`` permutes into the physical frame (interleaved
+        layouts) and applies the essential-dof masking."""
         P = block_diag_prolongation(self.ml_mesh.levels[l],
                                     self.ml_mesh.levels[l + 1], self.unknowns)
-        self._P_raw = P
-        Pm = mask_prolongation(P, self.masks[l + 1], self.masks[l])
-        return Pm, None
+        return P, None
+
+    def _permute_transfer(self, M, row_perm, col_perm):
+        """Reindex a (rows x cols) scipy transfer into the physical frame."""
+        import scipy.sparse as sp_
+        if row_perm is None and col_perm is None:
+            return M
+        coo = M.tocoo()
+        r = coo.row if row_perm is None else row_perm[coo.row]
+        c = coo.col if col_perm is None else col_perm[coo.col]
+        out = sp_.csr_matrix((coo.data, (r, c)), shape=M.shape)
+        out.sort_indices()
+        return out
 
     def _build_transfer(self, l: int, pat_above):
         """(P_op, R_op, coarse schedule) for level l -> l+1 against the
         fine-side pattern ``pat_above`` (reference BuildProlongatorMatrix +
         matrix_PtAP / matrix_ABC, LinearImplicitSystem.cpp:345-370)."""
-        Pm, Rm = self._make_transfer_pair(l)
+        P, R = self._make_transfer_pair(l)
+        pf = self.assemblers[l + 1].stack_perm
+        pc = self.assemblers[l].stack_perm
+        if pf is not None or pc is not None:
+            P = self._permute_transfer(P, pf, pc)
+            if R is not None:
+                R = self._permute_transfer(R, pc, pf)
+        # essential-dof masking happens in the PHYSICAL frame (self.masks
+        # are the assemblers' physical dirichlet masks)
+        Pm = mask_prolongation(P, self.masks[l + 1], self.masks[l])
+        Rm = (mask_prolongation(R, self.masks[l], self.masks[l + 1]).tocsr()
+              if R is not None else None)
         Pop, Rop = op_pair_from_scipy(Pm, R=Rm)
         sched = build_ptap_schedule(pat_above, Pm, R=Rm)
         return (Pop, Rop, sched)
@@ -307,7 +354,7 @@ class System:
             "rediscretize with truncated hierarchies is not wired up"
 
         vblocks = None
-        if cfg.smoother == "vanka":
+        if cfg.smoother in ("vanka", "vanka_gmres"):
             from ..algebra.vanka import build_element_blocks
             if transfers:
                 vblocks = []
@@ -410,7 +457,8 @@ class System:
                 h = build_hierarchy_from_ops(
                     ops, pr, smoother=cfg.smoother, n_pre=cfg.n_pre,
                     n_post=cfg.n_post, cheb_degree=cfg.cheb_degree,
-                    vanka_blocks=vblocks_a, vanka_omega=cfg.vanka_omega)
+                    vanka_blocks=vblocks_a, vanka_omega=cfg.vanka_omega,
+                    krylov_m=cfg.krylov_m)
                 M = h.as_preconditioner(cfg.mg_cycle)
             elif transfers:
                 h = build_hierarchy(A, transfers_a, smoother=cfg.smoother,
@@ -419,11 +467,12 @@ class System:
                                     dir_masks=dmasks_a,
                                     vanka_blocks=vblocks_a,
                                     vanka_omega=cfg.vanka_omega,
+                                    krylov_m=cfg.krylov_m,
                                     coarse_dense_max=cfg.coarse_dense_max_dofs,
                                     bell_plans=(None if bell_c_a is None
                                                 else list(bell_c_a) + [None]))
                 M = h.as_preconditioner(cfg.mg_cycle)
-            elif cfg.smoother == "vanka":
+            elif cfg.smoother in ("vanka", "vanka_gmres"):
                 from ..algebra.vanka import vanka_smoother
                 sm = vanka_smoother(A, vblocks_a[0], omega=cfg.vanka_omega)
                 M = lambda r: sm(jnp.zeros_like(r), r)
@@ -556,6 +605,9 @@ class System:
         """Per-variable ||eps|| / ||sol|| (reference HasNonLinearConverged,
         NonLinearImplicitSystem.cpp:113-153)."""
         a = self.assemblers[level]
+        if a.stack_perm is not None:          # physical -> logical slices
+            delta = np.asarray(delta)[a.stack_perm]
+            u = np.asarray(u)[a.stack_perm]
         out = {}
         for unk in self.unknowns:
             off = a.offsets[unk.name]
