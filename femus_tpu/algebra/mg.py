@@ -127,11 +127,38 @@ class MGHierarchy:
         ec = self.f_cycle(lv.R @ b, level=l - 1)
         return self.v_cycle(b, lv.P @ ec, level=l)
 
+    def additive_cycle(self, b, level: Optional[int] = None):
+        """Additive MG (PC_MG_ADDITIVE): every level smooths ITS restriction
+        of the SAME residual independently; prolongated corrections sum —
+        no inter-level residual updates (reference MGInit ADDITIVE branch,
+        LinearEquationSolverPetsc.cpp:205-206)."""
+        l = len(self.levels) - 1 if level is None else level
+        if l == 0:
+            return self.coarse_solve(b)
+        lv = self.levels[l]
+        x = jnp.zeros_like(b)
+        for _ in range(self.n_pre):
+            x = lv.smoother(b, x)
+        return x + lv.P @ self.additive_cycle(lv.R @ b, level=l - 1)
+
+    def kaskade_cycle(self, b, level: Optional[int] = None):
+        """Kaskade / cascadic MG (PC_MG_KASKADE): one coarse-to-fine sweep —
+        solve the coarsest restriction, prolongate, smooth, never descend
+        again (reference MGInit KASKADE branch, :208-209)."""
+        l = len(self.levels) - 1 if level is None else level
+        if l == 0:
+            return self.coarse_solve(b)
+        lv = self.levels[l]
+        x = lv.P @ self.kaskade_cycle(lv.R @ b, level=l - 1)
+        for _ in range(self.n_pre + self.n_post):
+            x = lv.smoother(b, x)
+        return x
+
     def as_preconditioner(self, cycle: str = "V") -> Callable:
-        """One cycle as M^{-1} — "V" | "W" | "F" (full MG), the reference's
-        MgType{V_CYCLE, F_CYCLE[, M_CYCLE]} (MgTypeEnum.hpp) as selected
-        into PETSc PCMGSetCycleType/PCMGSetType by MGInit
-        (LinearEquationSolverPetsc.cpp:185-210).
+        """One cycle as M^{-1} — "V" | "W" | "F" (full MG) | "ADDITIVE" |
+        "KASKADE": the reference's MgSmootherType {MULTIPLICATIVE, FULL,
+        ADDITIVE, KASKADE} as selected into PETSc PCMGSetType by MGInit
+        (LinearEquationSolverPetsc.cpp:185-215), plus the W-cycle.
 
         If the hierarchy was built with a lower compute_dtype (mixed
         precision), the input residual is cast down, the cycle runs in low
@@ -139,8 +166,9 @@ class MGHierarchy:
         back — the outer Krylov stays in the ambient precision, so final
         accuracy is unaffected (the cycle is only a preconditioner); only
         the convergence RATE can change."""
-        fn = {"V": self.v_cycle, "W": self.w_cycle,
-              "F": self.f_cycle}[cycle.upper()]
+        fn = {"V": self.v_cycle, "W": self.w_cycle, "F": self.f_cycle,
+              "ADDITIVE": self.additive_cycle,
+              "KASKADE": self.kaskade_cycle}[cycle.upper()]
         dt = self.compute_dtype
         if dt is None:
             return lambda r: fn(r)

@@ -165,3 +165,36 @@ def test_mixed_precision_vcycle(low):
     # multigrid-like iteration counts: low precision costs at most ~2x
     budget = 2 * int(i64.iters) + (6 if low == "bfloat16" else 2)
     assert int(ilo.iters) <= budget, (int(ilo.iters), int(i64.iters))
+
+
+def test_all_cycle_types_converge():
+    """V / W / F(full) / additive / kaskade (reference MgSmootherType ->
+    PCMGSetType, LinearEquationSolverPetsc.cpp:185-215) all drive the same
+    Poisson problem to the same solution."""
+    from femus_tpu.mesh.multilevel import MultiLevelMesh
+    from femus_tpu.systems.problem import MultiLevelProblem
+    from femus_tpu.systems.solution import MultiLevelSolution
+    from femus_tpu.systems.system import LinearImplicitSystem
+    from femus_tpu.assembly import forms as _forms
+
+    ml_mesh = MultiLevelMesh(unit_box((6, 6), "quad"), 3)
+    ml_sol = MultiLevelSolution(ml_mesh)
+    ml_sol.add_solution("u", "biquadratic")
+    ml_sol.initialize("u")
+    ml_sol.attach_bc(lambda var, x, grp, t: (True, 0.0))
+    ml_sol.generate_bdc("u")
+    prob = MultiLevelProblem(ml_mesh, ml_sol, quad_order="fifth")
+    sys_ = prob.add_system(LinearImplicitSystem, "Poisson")
+    sys_.add_unknown("u")
+    sys_.set_assembly(_forms.poisson(rhs=lambda x: 1.0 + 0.0 * x[..., 0]))
+    sys_.init()
+    norms = {}
+    for cyc in ("V", "W", "F", "additive", "kaskade"):
+        sys_.config.mg_cycle = cyc
+        sys_._step_fns = {}
+        info = sys_.solve()
+        norms[cyc] = np.linalg.norm(ml_sol.sol[-1]["u"])
+        assert info["residual"] < 1e-6, (cyc, info)
+    ref = norms["V"]
+    for cyc, nv in norms.items():
+        assert abs(nv - ref) < 1e-8 * ref, (cyc, nv, ref)
