@@ -185,7 +185,10 @@ def bench_bell_unstructured(dtype=None, name="bell"):
     nnz = asm.pattern.nnz
     isz = 2 if dtype is not None else 4
     x0 = B.to_frame(jnp.ones(asm.pattern.n_rows, jnp.float32))
-    t = bench_op(B, lambda op, v: op.matvec_frame(v), iters=300,
+    # 1000 iterations: these kernels are ~30-50 us, and the axon tunnel's
+    # per-dispatch jitter is ms-scale — the slope needs a long scan to
+    # stay out of the noise floor
+    t = bench_op(B, lambda op, v: op.matvec_frame(v), iters=1000,
                  name=name, x=x0)
     LAST_SPREAD[name]["slab_bytes_per_nnz"] = round(
         plan.slab_bytes(isz) / nnz, 1)
@@ -272,8 +275,11 @@ def bench_newton_step():
     levels = int(os.environ.get("BENCH_NS_LEVELS", "2"))
     # bench runs float32 (x64 off): 1e-4 relative residual reduction is the
     # realistic single-precision Krylov target; iteration counts stay
-    # comparable with the reference's per-step counts
-    prob, sys_ = ns_bench.make_ns_system(levels=levels, rtol=1e-4)
+    # comparable with the reference's per-step counts.  interleave=True =
+    # the production BELL config (RCM meshes + node-major layout -> banded
+    # identity plans, no permutes)
+    prob, sys_ = ns_bench.make_ns_system(levels=levels, rtol=1e-4,
+                                         interleave=True)
     sys_.config.operator = "bell"
     step = sys_.step_fn(-1)
     u = jnp.asarray(sys_.gather(-1))
@@ -297,11 +303,13 @@ def main():
         # XLA-fused 2-D static-slice stencil: the fastest measured path
         # (fuses 25 shifted multiply-adds into one HBM pass over the
         # weights; ~75% of absolute HBM roofline)
-        t = bench_op(S, lambda op, v: op.matvec(v), name="stencil_xla")
+        t = bench_op(S, lambda op, v: op.matvec(v), iters=400,
+                     name="stencil_xla")
         results["stencil_xla"] = nnz / t
         try:
             from femus_tpu.algebra.stencil import spmv_stencil_pallas
-            t = bench_op(S, lambda op, v: spmv_stencil_pallas(op, v), name="stencil_pallas")
+            t = bench_op(S, lambda op, v: spmv_stencil_pallas(op, v),
+                         iters=400, name="stencil_pallas")
             results["stencil_pallas"] = nnz / t
         except Exception:
             pass

@@ -127,6 +127,37 @@ class MGHierarchy:
         ec = self.f_cycle(lv.R @ b, level=l - 1)
         return self.v_cycle(b, lv.P @ ec, level=l)
 
+    def k_cycle(self, b, x=None, level: Optional[int] = None, k: int = 2):
+        """Krylov-accelerated K-cycle (Notay 2008): like a W-cycle, but the
+        coarse-grid correction at every sub-level is computed by ``k``
+        FGMRES iterations preconditioned by the sub-hierarchy's own
+        K-cycle.  Residual-minimizing at each level, so it stays stable
+        where the plain W-cycle's doubled Petrov-Galerkin corrections
+        overshoot (measured: W diverges on steady monolithic FSI), and it
+        repairs exactly the weak-middle-level failure mode — an inexact
+        intermediate correction that a V-cycle cannot compensate."""
+        from .krylov import fgmres
+        l = len(self.levels) - 1 if level is None else level
+        lv = self.levels[l]
+        x = jnp.zeros_like(b) if x is None else x
+        if l == 0:
+            return self.coarse_solve(b)
+        for _ in range(self.n_pre):
+            x = lv.smoother(b, x)
+        r = b - lv.A @ x
+        rc = lv.R @ r
+        if l - 1 == 0:
+            ec = self.coarse_solve(rc)
+        else:
+            Ac = self.levels[l - 1].A
+            ec, _ = fgmres(lambda v: Ac @ v, rc,
+                           M=lambda v: self.k_cycle(v, level=l - 1, k=k),
+                           tol=1e-30, restart=k, max_restarts=1)
+        x = x + lv.P @ ec
+        for _ in range(self.n_post):
+            x = lv.smoother(b, x)
+        return x
+
     def additive_cycle(self, b, level: Optional[int] = None):
         """Additive MG (PC_MG_ADDITIVE): every level smooths ITS restriction
         of the SAME residual independently; prolongated corrections sum —
@@ -167,7 +198,7 @@ class MGHierarchy:
         accuracy is unaffected (the cycle is only a preconditioner); only
         the convergence RATE can change."""
         fn = {"V": self.v_cycle, "W": self.w_cycle, "F": self.f_cycle,
-              "ADDITIVE": self.additive_cycle,
+              "K": self.k_cycle, "ADDITIVE": self.additive_cycle,
               "KASKADE": self.kaskade_cycle}[cycle.upper()]
         dt = self.compute_dtype
         if dt is None:

@@ -484,6 +484,15 @@ class System:
                 solve1 = lambda b: cg(A.matvec, b, M=M, tol=cfg.rtol,
                                       atol=cfg.atol,
                                       maxiter=cfg.max_outer * cfg.restart)
+            elif cfg.smoother == "vanka_gmres" or \
+                    cfg.mg_cycle.upper() == "K":
+                # inner-Krylov smoothers / K-cycles make the cycle a
+                # NONLINEAR preconditioner: the outer iteration must be
+                # flexible (right-preconditioned FGMRES, Saad 1993)
+                from ..algebra.krylov import fgmres
+                solve1 = lambda b: fgmres(A.matvec, b, M=M, tol=cfg.rtol,
+                                          atol=cfg.atol, restart=cfg.restart,
+                                          max_restarts=cfg.max_outer)
             else:
                 solve1 = lambda b: gmres(A.matvec, b, M=M, tol=cfg.rtol,
                                          atol=cfg.atol, restart=cfg.restart,
@@ -615,6 +624,50 @@ class System:
             e = np.linalg.norm(delta[off:off + n])
             s = np.linalg.norm(u[off:off + n])
             out[unk.name] = e / max(s, 1e-250)
+        return out
+
+    def profile_step(self, level: int = -1, reps: int = 3) -> Dict[str, float]:
+        """Per-phase wall-time split of one solve step at ``level`` —
+        assembly / Galerkin coarsening (PtAP or R A P) / smoother+hierarchy
+        build / full solve — the reference prints exactly this split per
+        run (LinearImplicitSystem.cpp:326,372,406 assembly vs preparation
+        vs solver time; NonLinearImplicitSystem.cpp:89-98).  Times each
+        phase as its own jitted function (compile excluded, best of
+        ``reps``, host-fetch synchronized) at the CURRENT solution state;
+        phases overlap the fused production step, so the split is
+        diagnostic, not additive bookkeeping.  Returns seconds."""
+        import time as _t
+
+        n_levels = len(self.ml_mesh.levels)
+        if level < 0:
+            level += n_levels
+        a = self.assemblers[level]
+        assemble = jax.jit(a.make_assemble_fn(pass_tables=True))
+        u = jnp.asarray(self.gather(level))
+        tabs = a.device_tables_cached()
+        aux = self._aux_arrays(level)
+        scal = self._aux_scalars_traced()
+
+        def best(fn, *args):
+            np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])
+            ts = []
+            for _ in range(reps):
+                t0 = _t.perf_counter()
+                np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])
+                ts.append(_t.perf_counter() - t0)
+            return min(ts)
+
+        out = {"assembly_s": best(lambda u_: assemble(u_, tabs, aux, scal),
+                                  u)}
+        _, data = assemble(u, tabs, aux, scal)
+        if self.config.use_mg and level > 0:
+            tr = self._transfers_for(level)
+            coarsen = jax.jit(lambda d, t: t[0][2].apply(d))
+            out["coarsen_s"] = best(coarsen, data, tr)
+        step = self.step_fn(level)
+        out["solve_step_s"] = best(lambda u_: step(u_, tabs, aux, scal)[0],
+                                   u)
+        self.timing.update({k: v for k, v in out.items()})
         return out
 
     def dofmap_size(self, name: str, level: int) -> int:

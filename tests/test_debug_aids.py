@@ -74,3 +74,33 @@ def test_field_dumper(tmp_path):
     p1 = d.dump()
     assert p0.endswith("it.0000.vtu") and p1.endswith("it.0001.vtu")
     assert (tmp_path / "it.0001.vtu").stat().st_size > 100
+
+
+def test_profile_step_phase_split():
+    """System.profile_step returns the reference's per-phase split
+    (assembly vs preparation/coarsening vs solver,
+    LinearImplicitSystem.cpp:326,372,406)."""
+    import jax.numpy as jnp
+    from femus_tpu.assembly import forms
+    from femus_tpu.mesh.generation import unit_box
+    from femus_tpu.mesh.multilevel import MultiLevelMesh
+    from femus_tpu.systems.problem import MultiLevelProblem
+    from femus_tpu.systems.solution import MultiLevelSolution
+    from femus_tpu.systems.system import LinearImplicitSystem
+
+    ml_mesh = MultiLevelMesh(unit_box((4, 4), "quad"), 2)
+    ml_sol = MultiLevelSolution(ml_mesh)
+    ml_sol.add_solution("u", "biquadratic")
+    ml_sol.initialize("u")
+    ml_sol.attach_bc(lambda var, x, grp, t: (True, 0.0))
+    ml_sol.generate_bdc("u")
+    prob = MultiLevelProblem(ml_mesh, ml_sol, quad_order="fifth")
+    sys_ = prob.add_system(LinearImplicitSystem, "P")
+    sys_.add_unknown("u")
+    sys_.set_assembly(forms.poisson(rhs=lambda x: 1.0 + 0.0 * x[..., 0]))
+    sys_.init()
+    prof = sys_.profile_step(-1, reps=2)
+    assert set(prof) >= {"assembly_s", "coarsen_s", "solve_step_s"}
+    assert all(v > 0 for v in prof.values())
+    # the split lands in System.timing for downstream telemetry
+    assert "assembly_s" in sys_.timing
