@@ -1,0 +1,55 @@
+"""MG cycle shapes on a HARD case (VERDICT r3 #4): strongly anisotropic
+Poisson, where point-smoother V-cycles degrade and the extra coarse-grid
+work of W/K cycles pays — W must beat V in iterations-to-tolerance
+(reference MgSmootherType / PCMGSetType variants, MGInit,
+LinearEquationSolverPetsc.cpp:185-215)."""
+import numpy as np
+import pytest
+
+from femus_tpu.mesh.generation import unit_box
+from femus_tpu.mesh.multilevel import MultiLevelMesh
+from femus_tpu.systems.problem import MultiLevelProblem
+from femus_tpu.systems.solution import MultiLevelSolution
+from femus_tpu.systems.system import LinearImplicitSystem
+
+EPS = 0.02
+
+
+def aniso_form(ops, u, aux):
+    g = ops.grad("biquadratic", u["u"])
+    ga = g.at[:, 0].multiply(EPS)          # -(eps u_xx + u_yy) = f
+    r = ops.tgrad("biquadratic", ga)
+    f = 1.0 + 0.0 * ops.value("biquadratic", u["u"])
+    return {"u": r - ops.t("biquadratic", f)}
+
+
+def _solve(cycle, rtol=1e-13):
+    ml_mesh = MultiLevelMesh(unit_box((8, 8), "quad"), 3)
+    ml_sol = MultiLevelSolution(ml_mesh)
+    ml_sol.add_solution("u", "biquadratic")
+    ml_sol.initialize("u")
+    ml_sol.attach_bc(lambda var, x, grp, t: (True, 0.0))
+    ml_sol.generate_bdc("u")
+    prob = MultiLevelProblem(ml_mesh, ml_sol, quad_order="fifth")
+    sys_ = prob.add_system(LinearImplicitSystem, "aniso")
+    sys_.add_unknown("u")
+    sys_.set_assembly(aniso_form)
+    sys_.config.rtol = rtol
+    sys_.config.mg_cycle = cycle
+    sys_.init()
+    info = sys_.solve()
+    return info["iters"], np.linalg.norm(ml_sol.sol[-1]["u"])
+
+
+def test_w_cycle_beats_v_on_anisotropy():
+    it_v, n_v = _solve("V")
+    it_w, n_w = _solve("W")
+    it_k, n_k = _solve("K")
+    # same solution from every cycle
+    assert abs(n_w - n_v) < 1e-9 * n_v
+    assert abs(n_k - n_v) < 1e-9 * n_v
+    # the W-cycle's doubled coarse work pays on anisotropy: strictly fewer
+    # outer iterations than V.  (K converges too; its payoff case is the
+    # weak-middle-level saddle-point hierarchies, not SPD anisotropy.)
+    assert it_w < it_v, (it_w, it_v)
+    assert it_k > 0
