@@ -651,6 +651,14 @@ def _spmv_bell_pallas_frame(op: BellOp, xf: jnp.ndarray) -> jnp.ndarray:
     n_chunks = sr // CH
     nxb_pad = max(p.n_xblocks, W)
     x2d = jnp.zeros(nxb_pad * C, dtype).at[:p.n].set(xf).reshape(nxb_pad, C)
+    # bf16 slabs are the preconditioner-grade fast path: single-pass MXU
+    # dots are precision-CONSISTENT with the storage (total matvec error
+    # ~3e-3 relative, vs 1.4e-4 with exact routing) and cut the per-chunk
+    # routing cost enough to actually realize the halved slab traffic
+    # (measured on the L3 nsbenc Jacobian: 13.3 -> 25.8 Gnnz/s); f32 slabs
+    # keep HIGHEST so the one-hot matmuls reproduce x/partials exactly
+    prec = (jax.lax.Precision.DEFAULT if op.blocks.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
 
     def kernel(starts_ref, tstarts_ref, bids_ref, tids_ref, x_ref,
                blocks_ref, yt_ref):
@@ -668,7 +676,7 @@ def _spmv_bell_pallas_frame(op: BellOp, xf: jnp.ndarray) -> jnp.ndarray:
         for q in range(pack):
             oh = (lid[:, q:q + 1] == iw).astype(dtype)           # (CH, W)
             segs.append(jnp.dot(oh, xw, preferred_element_type=dtype,
-                                precision=jax.lax.Precision.HIGHEST))
+                                precision=prec))
         xg = segs[0] if pack == 1 else jnp.concatenate(segs, axis=1)
         prod = blocks_ref[:].astype(dtype) * xg[:, None, :]      # (CH, T, 128)
         # slab rows are single-tile: full-lane row sums + one windowed
@@ -682,8 +690,7 @@ def _spmv_bell_pallas_frame(op: BellOp, xf: jnp.ndarray) -> jnp.ndarray:
         ttT = (ltid[:, None] == it).astype(dtype)                # (CH, WT)
         yt_ref[0] = jax.lax.dot_general(
             ttT, rowsum, (((0,), (0,)), ((), ())),
-            preferred_element_type=dtype,
-            precision=jax.lax.Precision.HIGHEST)
+            preferred_element_type=dtype, precision=prec)
 
     yt = pl.pallas_call(
         kernel,

@@ -190,7 +190,7 @@ def var_norm(asm: Assembler, u: np.ndarray, name: str) -> float:
 
 def make_fsi_system(levels: int = 4, smoother: str = "vanka",
                     rtol: float = 1e-8, max_lin_iters: int = 0,
-                    max_nonlinear: int = 15):
+                    max_nonlinear: int = 15, mg_cycle: str = "V"):
     """The testFSISteady drive through the framework's OWN solver stack
     (reference main.cpp:100-146: F-cycle Newton over a ``levels``-deep
     uniformly refined hierarchy of fsifirst.neu, each linear solve an
@@ -241,6 +241,11 @@ def make_fsi_system(levels: int = 4, smoother: str = "vanka",
     cfg = sys_.config
     cfg.smoother = smoother
     cfg.vanka_groups = "material"
+    # "K" (Notay's Krylov-accelerated cycle) is the iteration-optimal
+    # choice on hierarchies deeper than 2: the V-cycle's inexact middle-
+    # level corrections need 300-600 fine GMRES its on steady FSI, the
+    # K-cycle reaches rel 1.6e-4 in 30 (measured at level 2)
+    cfg.mg_cycle = mg_cycle
     cfg.mg_type = "F"
     cfg.use_mg = True
     cfg.rtol = rtol
