@@ -62,6 +62,7 @@ class MGHierarchy:
     coarse_dense: Optional[jnp.ndarray] = None   # LU-factorable dense coarse A
     compute_dtype: Optional[jnp.dtype] = None    # mixed-precision cycle dtype
     coarse_lu: Optional[tuple] = None            # cached per-trace LU factors
+    k_inner: int = 2                             # K-cycle inner FGMRES its
 
     def setup_coarse(self):
         self.coarse_dense = self.levels[0].A.to_dense()
@@ -127,7 +128,8 @@ class MGHierarchy:
         ec = self.f_cycle(lv.R @ b, level=l - 1)
         return self.v_cycle(b, lv.P @ ec, level=l)
 
-    def k_cycle(self, b, x=None, level: Optional[int] = None, k: int = 2):
+    def k_cycle(self, b, x=None, level: Optional[int] = None,
+                k: Optional[int] = None):
         """Krylov-accelerated K-cycle (Notay 2008): like a W-cycle, but the
         coarse-grid correction at every sub-level is computed by ``k``
         FGMRES iterations preconditioned by the sub-hierarchy's own
@@ -137,6 +139,7 @@ class MGHierarchy:
         repairs exactly the weak-middle-level failure mode — an inexact
         intermediate correction that a V-cycle cannot compensate."""
         from .krylov import fgmres
+        k = self.k_inner if k is None else k
         l = len(self.levels) - 1 if level is None else level
         lv = self.levels[l]
         x = jnp.zeros_like(b) if x is None else x
