@@ -277,6 +277,7 @@ def build_hierarchy_from_ops(ops: Sequence[SparseOp],
                              vanka_blocks: Optional[Sequence] = None,
                              vanka_omega: float = 0.9,
                              krylov_m: int = 5,
+                             vanka_multiplicative: bool = True,
                              compute_dtype=None) -> MGHierarchy:
     """Hierarchy from EXPLICIT per-level operators (coarsest first) —
     the non-Galerkin / rediscretized-coarse mode: each level's operator is
@@ -332,6 +333,7 @@ def build_hierarchy(fine_op: SparseOp,
                     vanka_blocks: Optional[Sequence] = None,
                     vanka_omega: float = 0.9,
                     krylov_m: int = 5,
+                    vanka_multiplicative: bool = True,
                     compute_dtype=None,
                     coarse_dense_max: Optional[int] = None,
                     bell_plans: Optional[Sequence] = None) -> MGHierarchy:
@@ -386,7 +388,8 @@ def build_hierarchy(fine_op: SparseOp,
                 and vanka_blocks is not None
                 and vanka_blocks[l] is not None):
             from .vanka import vanka_smoother
-            sm = vanka_smoother(A, vanka_blocks[l], omega=vanka_omega)
+            sm = vanka_smoother(A, vanka_blocks[l], omega=vanka_omega,
+                                multiplicative=vanka_multiplicative)
             if smoother == "vanka_gmres":
                 sm = krylov_smoother(
                     A, (lambda r, _s=sm: _s(r, jnp.zeros_like(r))),

@@ -53,6 +53,10 @@ class SolverConfig:
     vanka_block_elems: int = 2
     vanka_omega: float = 0.9
     krylov_m: int = 5               # inner iterations of "vanka_gmres"
+    # multiplicative (colored Gauss-Seidel sweeps, 1 residual refresh per
+    # color) vs additive (single batched sweep with overlap averaging —
+    # ~n_colors x fewer matvecs per smooth, needs omega ~0.5)
+    vanka_multiplicative: bool = True
     # None = blocks sweep all elements; "material" = blocks never span two
     # element groups (reference MeshASMPartitioning block_type_range -- the
     # FSI fluid/solid split)
@@ -458,7 +462,8 @@ class System:
                     ops, pr, smoother=cfg.smoother, n_pre=cfg.n_pre,
                     n_post=cfg.n_post, cheb_degree=cfg.cheb_degree,
                     vanka_blocks=vblocks_a, vanka_omega=cfg.vanka_omega,
-                    krylov_m=cfg.krylov_m)
+                    krylov_m=cfg.krylov_m,
+                    vanka_multiplicative=cfg.vanka_multiplicative)
                 M = h.as_preconditioner(cfg.mg_cycle)
             elif transfers:
                 h = build_hierarchy(A, transfers_a, smoother=cfg.smoother,
@@ -468,6 +473,7 @@ class System:
                                     vanka_blocks=vblocks_a,
                                     vanka_omega=cfg.vanka_omega,
                                     krylov_m=cfg.krylov_m,
+                                    vanka_multiplicative=cfg.vanka_multiplicative,
                                     coarse_dense_max=cfg.coarse_dense_max_dofs,
                                     bell_plans=(None if bell_c_a is None
                                                 else list(bell_c_a) + [None]))
