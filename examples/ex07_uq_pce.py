@@ -26,9 +26,8 @@ def solve_poisson(log_kappa):
 
     def form(ops, u, aux):
         g = ops.grad(fam, u["u"])
-        return {"u": kap * ops.tgrad(fam, g)
-                - ops.t(fam, jnp.ones_like(u["u"][:1]) * jnp.ones(
-                    ops.qweights.shape[0]))}
+        one = ops.pointwise(lambda x: 1.0 + 0.0 * x[..., 0])
+        return {"u": kap * ops.tgrad(fam, g) - ops.t(fam, one)}
 
     asm.set_volume_form(form)
     generate_bdc(asm, lambda var, x, grp, t: (True, 0.0))
