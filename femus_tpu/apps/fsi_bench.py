@@ -190,7 +190,8 @@ def var_norm(asm: Assembler, u: np.ndarray, name: str) -> float:
 
 def make_fsi_system(levels: int = 4, smoother: str = "vanka",
                     rtol: float = 1e-8, max_lin_iters: int = 0,
-                    max_nonlinear: int = 15, mg_cycle: str = "V"):
+                    max_nonlinear: int = 15, mg_cycle: str = "V",
+                    cfg_overrides: dict = None):
     """The testFSISteady drive through the framework's OWN solver stack
     (reference main.cpp:100-146: F-cycle Newton over a ``levels``-deep
     uniformly refined hierarchy of fsifirst.neu, each linear solve an
@@ -257,5 +258,7 @@ def make_fsi_system(levels: int = 4, smoother: str = "vanka",
         cfg.max_outer = 20
     cfg.nonlinear_tol = 1e-9
     cfg.max_nonlinear = max_nonlinear
+    for k, v in (cfg_overrides or {}).items():
+        setattr(cfg, k, v)
     sys_.init()
     return prob, sys_
