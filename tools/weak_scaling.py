@@ -58,17 +58,24 @@ def bench_shards(S: int, n_per_shard: int = 48):
         y, _ = jax.lax.scan(body, x, None, length=iters)
         return y[:1]
 
-    def run(iters):
+    def times(iters, reps=7):
         f = jax.jit(lambda d, x: sweep(d, x, iters))
         np.asarray(f(data, x))
-        best = np.inf
-        for _ in range(3):
+        out = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             np.asarray(f(data, x))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            out.append(time.perf_counter() - t0)
+        return out
 
-    t = (run(60) - run(10)) / 50
+    # MEDIAN of paired slope estimates: the shared-core virtual-device
+    # proxy jitters +-40% run to run (CPU scheduler), which previously let
+    # a lucky S1 masquerade as a weak-scaling regression
+    short = times(10)
+    long_ = times(60)
+    slopes = sorted(max((l - s_) / 50, 1e-12)
+                    for l, s_ in zip(long_, short))
+    t = slopes[len(slopes) // 2]
     return asm.pattern.nnz / t
 
 
