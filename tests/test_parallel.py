@@ -71,6 +71,64 @@ def test_halo_spmv_bell_matches_global():
 
 
 @pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
+@pytest.mark.parametrize("transport", ["ppermute", "all_to_all"])
+@pytest.mark.parametrize("overlap", [False, True])
+def test_halo_spmv_variants_match(transport, overlap):
+    """Every transport (offset-ppermute / dense all_to_all) x scheduling
+    (sequential / double-buffered interior-boundary overlap) combination of
+    the halo SpMV computes the same product as the global operator."""
+    n_shards = NDEV
+    mesh = unit_box((8, 8), "quad")
+    asm = Assembler(mesh, [Unknown("u", "biquadratic")], quad_order="fifth",
+                    pad_dofs_to=n_shards)
+    asm.set_volume_form(poisson("u", "biquadratic"))
+    generate_bdc(asm, lambda var, x, grp, t: (True, 0.0))
+    R, data = jax.jit(asm.make_assemble_fn())(jnp.zeros(asm.n_dofs_pad))
+    A = asm.op_with(data)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=asm.n_dofs_pad))
+    want = np.asarray(A @ x)
+
+    dm = device_mesh(n_shards)
+    plan = build_halo_plan(asm.pattern, n_shards)
+    spmv, sharding = make_halo_spmv(plan, dm, overlap=overlap,
+                                    transport=transport)
+    xd = jax.device_put(x, sharding)
+    dd = jax.device_put(data, jax.sharding.NamedSharding(
+        dm, jax.sharding.PartitionSpec("mesh", None)))
+    got = np.asarray(jax.jit(spmv)(dd, xd))
+    assert np.allclose(got, want, atol=1e-10)
+
+
+@pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
+@pytest.mark.parametrize("overlap", [False, True])
+def test_halo_spmv_bell_variants_match(overlap):
+    """The split interior/boundary BELL halo matvec equals the global op in
+    both the sequential and the overlapped schedule."""
+    from femus_tpu.parallel.halo import make_halo_spmv_bell
+    n_shards = NDEV
+    mesh = unit_box((8, 8), "quad")
+    asm = Assembler(mesh, [Unknown("u", "biquadratic")], quad_order="fifth",
+                    pad_dofs_to=n_shards)
+    asm.set_volume_form(poisson("u", "biquadratic"))
+    generate_bdc(asm, lambda var, x, grp, t: (True, 0.0))
+    R, data = jax.jit(asm.make_assemble_fn())(jnp.zeros(asm.n_dofs_pad))
+    A = asm.op_with(data)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=asm.n_dofs_pad))
+    want = np.asarray(A @ x)
+
+    dm = device_mesh(n_shards)
+    plan = build_halo_plan(asm.pattern, n_shards)
+    prepare, spmv = make_halo_spmv_bell(plan, asm.pattern, dm,
+                                        overlap=overlap)
+    xd = jax.device_put(x, jax.sharding.NamedSharding(
+        dm, jax.sharding.PartitionSpec("mesh")))
+    dd = jax.device_put(data, jax.sharding.NamedSharding(
+        dm, jax.sharding.PartitionSpec("mesh", None)))
+    got = np.asarray(jax.jit(lambda d, v: spmv(prepare(d), v))(dd, xd))
+    assert np.allclose(got, want, atol=1e-10)
+
+
+@pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
 def test_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(NDEV)
