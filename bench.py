@@ -158,7 +158,32 @@ def bench_patch_spmv():
     _, data = assemble(jnp.zeros(asm.n_dofs_pad, jnp.float32),
                        asm.device_tables())
     A = asm.op_with(data)
-    t = bench_op(A, lambda op, v: op @ v, iters=300)
+    t = bench_op(A, lambda op, v: op @ v, iters=300, name="patch")
+    return asm.pattern.nnz / t
+
+
+def bench_patch3d_spmv():
+    """3-D hex patch-lattice stencil SpMV (algebra/patchstencil3d.py) on a
+    refined unstructured hex box — the 3-D analogue of the patch metric."""
+    from femus_tpu.assembly.bc import generate_bdc
+    from femus_tpu.assembly.engine import Assembler, Unknown
+    from femus_tpu.assembly.forms import poisson
+    from femus_tpu.mesh.generation import box
+    from femus_tpu.mesh.patches3d import refine_patched_hex
+
+    levels = int(os.environ.get("BENCH_PATCH3D_LEVELS", "3"))
+    coarse = box((4, 4, 4), [(0, 1), (0, 1), (0, 1)], "hex")
+    fine, plan = refine_patched_hex(coarse, levels)
+    asm = Assembler(fine, [Unknown("u", "biquadratic")], quad_order="fifth",
+                    dtype=jnp.float32)
+    asm.set_volume_form(poisson("u", "biquadratic"))
+    generate_bdc(asm, lambda var, x, grp, t: (True, 0.0))
+    asm.set_patch_layout(plan)
+    assemble = jax.jit(asm.make_assemble_fn(pass_tables=True))
+    _, data = assemble(jnp.zeros(asm.n_dofs_pad, jnp.float32),
+                       asm.device_tables())
+    A = asm.op_with(data)
+    t = bench_op(A, lambda op, v: op @ v, iters=300, name="patch3d")
     return asm.pattern.nnz / t
 
 
@@ -356,6 +381,11 @@ def main():
             extra["patch_spmv_gnnz_s"] = round(bench_patch_spmv() / 1e9, 3)
         except Exception as e:
             extra["patch_spmv_error"] = repr(e)[:120]
+        try:
+            extra["patch3d_spmv_gnnz_s"] = round(
+                bench_patch3d_spmv() / 1e9, 3)
+        except Exception as e:
+            extra["patch3d_spmv_error"] = repr(e)[:120]
         try:
             step_s, iters = bench_newton_step()
             extra["ns_newton_step_s"] = round(step_s, 4)

@@ -40,18 +40,20 @@ class SolverConfig:
     atol: float = 1e-50
     restart: int = 30
     max_outer: int = 20             # GMRES restarts / CG maxiter scale
-    smoother: str = "chebyshev"     # "chebyshev" | "jacobi" | "vanka" |
-                                    # "vanka_gmres" (Krylov-wrapped sweep)
+    smoother: str = "chebyshev"     # "chebyshev" | "jacobi" | "vanka"
     n_pre: int = 2
     n_post: int = 2
     cheb_degree: int = 3
-    # vanka/ASM block smoother (reference FEMuS_ASM + SetElementBlockNumber);
-    # "vanka_gmres" wraps the block sweep in m fixed GMRES iterations per
-    # level — the reference's per-level KSP smoother (MGSetLevel,
-    # LinearEquationSolverPetsc.cpp:219-288); unconditionally stable on
-    # stiff saddle points where bare sweeps amplify
+    # vanka/ASM block smoother (reference FEMuS_ASM + SetElementBlockNumber)
     vanka_block_elems: int = 2
     vanka_omega: float = 0.9
+    # "vanka_gmres" (parity-only; not recommended): wraps the block sweep
+    # in krylov_m fixed GMRES iterations per level, mirroring the
+    # reference's per-level KSP smoother (MGSetLevel,
+    # LinearEquationSolverPetsc.cpp:219-288).  Measured NO better than bare
+    # "vanka" on the steady-FSI hierarchy (its design case) at ~krylov_m x
+    # the cost — prefer "vanka"/"chebyshev"; any inner-Krylov smoother also
+    # forces the FGMRES outer (nonlinear preconditioner)
     krylov_m: int = 5               # inner iterations of "vanka_gmres"
     # multiplicative (colored Gauss-Seidel sweeps, 1 residual refresh per
     # color) vs additive (single batched sweep with overlap averaging —
@@ -113,6 +115,10 @@ class SolverConfig:
     # nonlinear
     max_nonlinear: int = 15
     nonlinear_tol: float = 1e-8
+    # print the solver_info() line (configuration + operator auto-routing
+    # decisions) once per solve — the reference's per-run solver print
+    # (LinearEquationSolverPetsc.cpp:296-352)
+    verbose: bool = False
 
 
 class System:
@@ -253,10 +259,41 @@ class System:
         return {k: jnp.asarray(v) for k, v in self.aux_scalars.items()}
 
     # ---- per-level jitted solve step ----------------------------------
+    def _route_note(self, **kw) -> None:
+        """Record an operator auto-routing decision for solver telemetry
+        (the reference prints its per-run solver configuration,
+        LinearEquationSolverPetsc.cpp:296-352; here the decisions land in
+        ``solver_info()`` so a user can tell WHICH matvec path a solve
+        took)."""
+        notes = getattr(self, "_routing_notes", None)
+        if notes is None:
+            notes = self._routing_notes = []
+        notes.append(kw)
+
+    def solver_info(self) -> Dict:
+        """Solver configuration + recorded operator-routing decisions
+        (bell/ell per pattern size, identity vs RCM-rescue ordering)."""
+        cfg = self.config
+        return {
+            "system": self.name,
+            "outer": cfg.outer, "operator": cfg.operator,
+            "smoother": cfg.smoother, "mg_type": cfg.mg_type,
+            "mg_cycle": cfg.mg_cycle, "n_pre": cfg.n_pre,
+            "n_post": cfg.n_post, "rtol": cfg.rtol,
+            "restart": cfg.restart, "max_outer": cfg.max_outer,
+            "interleave_dofs": cfg.interleave_dofs,
+            "routing": list(getattr(self, "_routing_notes", [])),
+        }
+
     def _bell_dev(self, pattern):
         """Cached BELL device plan for an operator pattern (operator="bell");
-        None below the size where the ELL gather is already cheap."""
+        None below the size where the ELL gather is already cheap.  Every
+        auto-routing decision (small-operator ELL fallback, identity->RCM
+        rescue) is recorded via ``_route_note`` and surfaced in
+        ``solver_info()``."""
         if pattern.n_rows < 2048:
+            self._route_note(n_rows=pattern.n_rows, path="ell",
+                             reason="below bell threshold (2048 rows)")
             return None
         cache = getattr(self, "_bell_plans", None)
         if cache is None:
@@ -271,7 +308,15 @@ class System:
             plan = build_bell_plan(
                 pattern, perm="identity" if order == "identity" else None)
             if order == "identity" and plan.nnz_bytes_ratio > 24.0:
+                ratio = plan.nnz_bytes_ratio
                 plan = build_bell_plan(pattern)        # RCM rescue
+                self._route_note(
+                    n_rows=pattern.n_rows, path="bell", order="rcm-rescue",
+                    reason=f"identity slab {ratio:.1f} B/nnz > 24.0, "
+                           f"rebuilt with RCM ({plan.nnz_bytes_ratio:.1f})")
+            else:
+                self._route_note(n_rows=pattern.n_rows, path="bell",
+                                 order=order)
             cache[key] = plan.device()
         return cache[key]
 
@@ -703,6 +748,8 @@ class LinearImplicitSystem(System):
                 self.ml_sol.refine_from(l)
                 # re-impose fine-level Dirichlet values
                 self._apply_bc_values(l + 1)
+        if self.config.verbose:
+            print(f"[{self.name}] solver: {self.solver_info()}")
         return info
 
     def _apply_bc_values(self, level: int) -> None:
@@ -758,4 +805,6 @@ class NonLinearImplicitSystem(LinearImplicitSystem):
                 self.ml_sol.refine_from(l)
                 self._apply_bc_values(l + 1)
         self.history = history
+        if cfg.verbose:
+            print(f"[{self.name}] solver: {self.solver_info()}")
         return history[-1] if history else {}

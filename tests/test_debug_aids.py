@@ -104,3 +104,39 @@ def test_profile_step_phase_split():
     assert all(v > 0 for v in prof.values())
     # the split lands in System.timing for downstream telemetry
     assert "assembly_s" in sys_.timing
+
+
+def test_solver_info_records_routing(capsys):
+    """solver_info() surfaces the solver configuration AND the operator
+    auto-routing decisions (bell/ell path, identity vs RCM rescue) — the
+    reference's per-run solver print
+    (LinearEquationSolverPetsc.cpp:296-352); cfg.verbose prints it."""
+    import jax.numpy as jnp
+    from femus_tpu.assembly import forms
+    from femus_tpu.mesh.generation import unit_box
+    from femus_tpu.mesh.multilevel import MultiLevelMesh
+    from femus_tpu.systems.problem import MultiLevelProblem
+    from femus_tpu.systems.solution import MultiLevelSolution
+    from femus_tpu.systems.system import LinearImplicitSystem
+
+    ml_mesh = MultiLevelMesh(unit_box((4, 4), "quad"), 2)
+    ml_sol = MultiLevelSolution(ml_mesh)
+    ml_sol.add_solution("u", "biquadratic")
+    ml_sol.initialize("u")
+    ml_sol.attach_bc(lambda var, x, grp, t: (True, 0.0))
+    ml_sol.generate_bdc("u")
+    prob = MultiLevelProblem(ml_mesh, ml_sol, quad_order="fifth")
+    sys_ = prob.add_system(LinearImplicitSystem, "P")
+    sys_.add_unknown("u")
+    sys_.set_assembly(forms.poisson(rhs=lambda x: 1.0 + 0.0 * x[..., 0]))
+    sys_.config.operator = "bell"
+    sys_.config.verbose = True
+    sys_.init()
+    sys_.solve()
+    info = sys_.solver_info()
+    assert info["operator"] == "bell" and info["mg_cycle"] == "V"
+    # the small test operator falls below the BELL threshold: the routing
+    # telemetry must SAY so (this was silent before — VERDICT r4 weak #6)
+    assert any(r["path"] == "ell" and "threshold" in r["reason"]
+               for r in info["routing"])
+    assert "solver:" in capsys.readouterr().out
