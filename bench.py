@@ -201,7 +201,11 @@ def bench_bell_unstructured(dtype=None, name="bell"):
     from femus_tpu.mesh.reorder import rcm_reorder
     levels = int(os.environ.get("BENCH_NS_LEVELS", "2"))
     mesh = rcm_reorder(ns_bench.load_mesh(levels))
-    asm = ns_bench.make_ns_assembler(mesh, dtype=jnp.float32)
+    # interleave=True: the production BELL config (node-major variable
+    # interleaving densifies the slab blocks — measured r5: 35.7 vs 39.2
+    # B/nnz f32, and +15% Gnnz/s on the same kernel)
+    asm = ns_bench.make_ns_assembler(mesh, dtype=jnp.float32,
+                                     interleave=True)
     assemble = jax.jit(asm.make_assemble_fn(pass_tables=True))
     u0 = jnp.asarray(ns_bench.initial_guess(asm, mesh), jnp.float32)
     _, data = assemble(u0, asm.device_tables())
@@ -215,10 +219,11 @@ def bench_bell_unstructured(dtype=None, name="bell"):
     # stay out of the noise floor
     t = bench_op(B, lambda op, v: op.matvec_frame(v), iters=1000,
                  name=name, x=x0)
+    bound = nnz / (plan.slab_bytes(isz) / chip_bw())
     LAST_SPREAD[name]["slab_bytes_per_nnz"] = round(
         plan.slab_bytes(isz) / nnz, 1)
-    LAST_SPREAD[name]["traffic_bound_gnnz_s"] = round(
-        nnz / (plan.slab_bytes(isz) / chip_bw()) / 1e9, 1)
+    LAST_SPREAD[name]["traffic_bound_gnnz_s"] = round(bound / 1e9, 1)
+    LAST_SPREAD[name]["pct_of_bound"] = round(100.0 * (nnz / t) / bound, 1)
     return nnz / t
 
 

@@ -229,49 +229,6 @@ def bell_local_matvec(blocks, block_ids, tile_start, x_ext, n_rows: int,
     return yt.reshape(-1)[:n_rows].astype(x_ext.dtype)
 
 
-def _chunk_windows(block_ids: np.ndarray, nb: int, pack: int,
-                   n_xblocks: int, chunk: int = _CHUNK
-                   ) -> Tuple[np.ndarray, int]:
-    """Per-chunk x-window starts + common (padded) width for the Pallas
-    kernel.  Chunks cover ``_CHUNK`` physical slab rows = _CHUNK*pack
-    blocks; after RCM/banded ordering each chunk touches a narrow
-    contiguous range of col-blocks."""
-    per = chunk * pack
-    n_chunks = len(block_ids) // per
-    starts = np.zeros(n_chunks, np.int32)
-    width = 1
-    for c in range(n_chunks):
-        ids = block_ids[c * per:min((c + 1) * per, nb)]
-        if len(ids) == 0:
-            continue
-        starts[c] = ids.min()
-        width = max(width, int(ids.max()) - int(ids.min()) + 1)
-    win = -(-width // 128) * 128
-    lim = max(n_xblocks, win)
-    starts = np.minimum(starts, lim - win).astype(np.int32)
-    return starts, win
-
-
-def _tile_aligned_cuts(tile_start: np.ndarray, nb: int, per: int):
-    """Cut the (tile-major sorted) block list into chunks of <= ``per``
-    blocks that BEGIN at row-tile boundaries, so every tile belongs to
-    exactly one chunk: the kernel then reduces block partials straight
-    onto (tile, row) slots with a windowed one-hot matmul and the chunk
-    outputs concatenate with STATIC slices — no gathers, no seam adds."""
-    cuts = [0]
-    while cuts[-1] < nb:
-        limit = cuts[-1] + per
-        if limit >= nb:
-            cuts.append(nb)
-            break
-        j = np.searchsorted(tile_start, limit, side="right") - 1
-        cut = int(tile_start[j])
-        if cut <= cuts[-1]:          # one tile wider than a whole chunk
-            cut = limit              # (degenerate; falls back to a seam)
-        cuts.append(cut)
-    return np.asarray(cuts, np.int64)
-
-
 def build_bell_plan(pattern: EllPattern, tile: int = 16,
                     perm=None, col_block: int = 32) -> BellPlan:
     """Blocked-ELL layout of ``pattern``.
@@ -638,6 +595,11 @@ class BellBackedOp:
 # diff over (nb, T)) stays outside.
 # ---------------------------------------------------------------------------
 
+# routing scheme override for A/B experiments (None = auto by slab dtype)
+_ROUTING_OVERRIDE = None
+_DIM_SEMANTICS = ("arbitrary",)
+
+
 def _spmv_bell_pallas_frame(op: BellOp, xf: jnp.ndarray) -> jnp.ndarray:
     """y_frame = A x_frame on the BELL slab via the fused windowed kernel."""
     from jax.experimental import pallas as pl
@@ -651,13 +613,21 @@ def _spmv_bell_pallas_frame(op: BellOp, xf: jnp.ndarray) -> jnp.ndarray:
     n_chunks = sr // CH
     nxb_pad = max(p.n_xblocks, W)
     x2d = jnp.zeros(nxb_pad * C, dtype).at[:p.n].set(xf).reshape(nxb_pad, C)
-    # bf16 slabs are the preconditioner-grade fast path: single-pass MXU
-    # dots are precision-CONSISTENT with the storage (total matvec error
-    # ~3e-3 relative, vs 1.4e-4 with exact routing) and cut the per-chunk
-    # routing cost enough to actually realize the halved slab traffic
-    # (measured on the L3 nsbenc Jacobian: 13.3 -> 25.8 Gnnz/s); f32 slabs
-    # keep HIGHEST so the one-hot matmuls reproduce x/partials exactly
-    prec = (jax.lax.Precision.DEFAULT if op.blocks.dtype == jnp.bfloat16
+    # Routing scheme per slab dtype:
+    # - bf16 slabs ("default"): single-pass MXU dots are precision-
+    #   CONSISTENT with the storage (total matvec error ~3e-3 relative) and
+    #   cut the per-chunk routing cost enough to realize the halved slab
+    #   traffic (measured on the L3 nsbenc Jacobian: 13.3 -> 25.8 Gnnz/s).
+    # - f32 slabs ("split3"): the one-hot gather must reproduce x exactly.
+    #   HIGHEST does that with 6 bf16 passes per dot; the split form gets
+    #   the same exactness in 3: x = x1 + x2 + x3 with each xk a bf16
+    #   round of the running residual, and each one-hot row selects a
+    #   SINGLE xk entry (1.0 is exact in bf16, one product, no accumulation
+    #   rounding), so oh@x1 + oh@x2 + oh@x3 rebuilds the f32 x to ~2^-25 —
+    #   at half the MXU passes of HIGHEST.
+    routing = _ROUTING_OVERRIDE or (
+        "default" if op.blocks.dtype == jnp.bfloat16 else "split3")
+    prec = (jax.lax.Precision.DEFAULT if routing == "default"
             else jax.lax.Precision.HIGHEST)
 
     def kernel(starts_ref, tstarts_ref, bids_ref, tids_ref, x_ref,
@@ -668,15 +638,22 @@ def _spmv_bell_pallas_frame(op: BellOp, xf: jnp.ndarray) -> jnp.ndarray:
         lid = bids_ref[:] - s                                    # (CH, pack)
         xw = x_ref[pl.ds(s, W), :]                               # (W, C)
         iw = jax.lax.broadcasted_iota(jnp.int32, (CH, W), 1)
-        # per packed slot q: one-hot gather of the C-wide x segment over
-        # the chunk's column window (HIGHEST everywhere: the MXU's default
-        # bf16 passes would round both the gathered x values and the
-        # accumulated sums)
+        if routing == "split3":
+            x1 = xw.astype(jnp.bfloat16)
+            r1 = xw - x1.astype(dtype)
+            x2 = r1.astype(jnp.bfloat16)
+            x3 = (r1 - x2.astype(dtype)).astype(jnp.bfloat16)
         segs = []
         for q in range(pack):
-            oh = (lid[:, q:q + 1] == iw).astype(dtype)           # (CH, W)
-            segs.append(jnp.dot(oh, xw, preferred_element_type=dtype,
-                                precision=prec))
+            if routing == "split3":
+                oh = (lid[:, q:q + 1] == iw).astype(jnp.bfloat16)
+                seg = sum(jnp.dot(oh, xk, preferred_element_type=dtype)
+                          for xk in (x1, x2, x3))
+            else:
+                oh = (lid[:, q:q + 1] == iw).astype(dtype)       # (CH, W)
+                seg = jnp.dot(oh, xw, preferred_element_type=dtype,
+                              precision=prec)
+            segs.append(seg)
         xg = segs[0] if pack == 1 else jnp.concatenate(segs, axis=1)
         prod = blocks_ref[:].astype(dtype) * xg[:, None, :]      # (CH, T, 128)
         # slab rows are single-tile: full-lane row sums + one windowed
@@ -706,6 +683,8 @@ def _spmv_bell_pallas_frame(op: BellOp, xf: jnp.ndarray) -> jnp.ndarray:
             out_specs=pl.BlockSpec((1, WT, T), lambda i, s, t: (i, 0, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((n_chunks, WT, T), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_DIM_SEMANTICS),
     )(p.win_start, p.twin_start, p.block_ids.reshape(sr, pack),
       p.tile_ids.reshape(sr, 1), x2d, op.blocks)
 
@@ -725,7 +704,10 @@ def spmv_bell_pallas(op: BellOp, x: jnp.ndarray) -> jnp.ndarray:
     (non-banded ordering).  The slab arrives pre-padded to a chunk multiple
     (build_bell_plan), so the grid divides with no per-call copies."""
     p = op.dev
-    if p.n > _PALLAS_MAX_X_ELEMS or p.win > _MAX_WIN:
+    if p.n > _PALLAS_MAX_X_ELEMS or p.win > _MAX_WIN or p.twin > 4096:
+        # twin = 1<<30 marks a degenerate seam plan (same guard as
+        # matvec_frame) — the kernel would allocate a (n_chunks, twin, T)
+        # output; route to the XLA path instead
         return op.matvec_xla(x)
     xf = x if p.perm is None else x[p.perm]
     yf = _spmv_bell_pallas_frame(op, xf)

@@ -83,11 +83,13 @@ def load_mesh(levels: int = 3):
     return mesh
 
 
-def make_ns_assembler(mesh, dtype=jnp.float64) -> Assembler:
+def make_ns_assembler(mesh, dtype=jnp.float64,
+                      interleave: bool = False) -> Assembler:
     asm = Assembler(mesh, [Unknown("U", "biquadratic"),
                            Unknown("V", "biquadratic"),
                            Unknown("P", "disc_linear")],
-                    quad_order="seventh", dtype=dtype)
+                    quad_order="seventh", dtype=dtype,
+                    interleave=interleave)
     asm.set_volume_form(navier_stokes(("U", "V"), "P",
                                       pres_family="disc_linear", nu=IRE))
     generate_bdc(asm, bc_ns)
