@@ -79,12 +79,14 @@ class PtAPSchedule:
     coarse_cols: Optional[jnp.ndarray] = None
     coarse_valid: Optional[jnp.ndarray] = None
     # (n_out + 1,) triplet range per coarse slot (dst is sorted, so the
-    # boundaries are STATIC): the apply reduces with one cumsum + boundary
-    # differences instead of segment_sum — 5x faster on TPU (the scatter
-    # path costs ~7.6 ms vs 1.4 ms on the nsbenc L2 schedule).  The global
-    # cumsum costs a few low digits in f32 (like algebra/bell.py's
-    # reduction note); the coarse operator is preconditioner-side, and the
-    # f64 CPU/golden paths are unaffected
+    # boundaries are STATIC): in f64 the apply reduces with one cumsum +
+    # boundary differences instead of segment_sum — 5x faster on TPU (the
+    # scatter path costs ~7.6 ms vs 1.4 ms on the nsbenc L2 schedule).
+    # f32 MUST NOT take the cumsum path: differencing a global prefix whose
+    # magnitude is ~1e6x a segment's sum wipes the segment entirely —
+    # measured on the FSI _RR schedule, 1922 coarse rows became EXACTLY
+    # zero and the coarse LU went singular (r5); apply() routes f32
+    # through the sorted segment_sum instead
     ends: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
@@ -99,11 +101,12 @@ class PtAPSchedule:
         """fine ELL data (nr, w) -> coarse ELL data (nrc, wc)."""
         contrib = self.coeff * fine_data.ravel()[self.src]
         nrc, wc = self.coarse_pattern.n_rows, self.coarse_pattern.width
-        if self.ends is not None:
+        if self.ends is not None and contrib.dtype == jnp.float64:
             cs = jnp.concatenate([jnp.zeros(1, contrib.dtype),
                                   jnp.cumsum(contrib)])
             out = cs[self.ends[1:]] - cs[self.ends[:-1]]
         else:
+            # f32 (TPU solves): per-segment sums only — see `ends` note
             out = jax.ops.segment_sum(contrib, self.dst,
                                       num_segments=nrc * wc,
                                       indices_are_sorted=True)

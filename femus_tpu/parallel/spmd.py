@@ -86,6 +86,8 @@ def make_sharded_step(assembler: Assembler, mesh: Mesh,
                       use_halo: bool = True,
                       local_format: str = "auto",
                       mg_cycle: str = "V",
+                      vanka_blocks: Optional[Sequence] = None,
+                      vanka_omega: float = 0.9,
                       with_aux: bool = False) -> Callable:
     """One jitted Newton/linear step with row/element sharding constraints.
 
@@ -137,7 +139,9 @@ def make_sharded_step(assembler: Assembler, mesh: Mesh,
             A = _HaloOp(A, lambda x: halo_spmv(data, x))
         if transfers:
             h = build_hierarchy(A, list(transfers), smoother=smoother,
-                                dir_masks=list(dir_masks))
+                                dir_masks=list(dir_masks),
+                                vanka_blocks=vanka_blocks,
+                                vanka_omega=vanka_omega)
             M = h.as_preconditioner(mg_cycle)
         else:
             d = A.diagonal()
@@ -146,6 +150,13 @@ def make_sharded_step(assembler: Assembler, mesh: Mesh,
         if outer == "cg":
             delta, info = cg(A.matvec, -R, M=M, tol=rtol,
                              maxiter=max_outer * restart)
+        elif outer == "fgmres" or mg_cycle == "K":
+            # the K-cycle runs Krylov iterations INSIDE the preconditioner
+            # (a nonlinear operator): the outer solve must be flexible
+            # GMRES, exactly as System.step_fn auto-selects it
+            from ..algebra.krylov import fgmres
+            delta, info = fgmres(A.matvec, -R, M=M, tol=rtol,
+                                 restart=restart, max_restarts=max_outer)
         else:
             delta, info = gmres(A.matvec, -R, M=M, tol=rtol,
                                 restart=restart, max_restarts=max_outer)

@@ -64,6 +64,34 @@ def test_ptap_schedule_matches_scipy(geom):
     assert np.allclose(got_dense, C, atol=1e-10)
 
 
+def test_ptap_schedule_f32_mixed_scales_exact_per_segment():
+    """f32 PtAP apply must reduce PER SEGMENT, never by differencing a
+    global prefix (r5 regression: at FSI's mixed entry scales the cumsum
+    path zeroed 1922 coarse rows exactly and the coarse LU went singular).
+    Scale the fine data by alternating 1e4/1e-4 row factors and require
+    every f32 coarse slot to match the f64 reference to f32 accuracy of
+    the SEGMENT's own magnitude — the cumsum path fails this at ~1e-1
+    absolute."""
+    ml = MultiLevelMesh(unit_box((2, 2), "quad"), 2)
+    cm, fm = ml.levels
+    asm = Assembler(fm, [Unknown("u", "biquadratic")], quad_order="fifth")
+    asm.set_volume_form(poisson("u", "biquadratic"))
+    _, data = jax.jit(asm.make_assemble_fn())(jnp.zeros(asm.n_dofs))
+    scale = np.where(np.arange(asm.pattern.n_rows) % 2 == 0, 1e4, 1e-4)
+    data = jnp.asarray(np.asarray(data) * scale[:, None])
+    P = prolongation_scipy(cm, fm, "biquadratic")
+    sched = build_ptap_schedule(asm.pattern, P)
+    ref = np.asarray(sched.apply(data))                       # f64 path
+    got = np.asarray(sched.apply(data.astype(jnp.float32)))   # f32 path
+    tol = 2e-5 * np.maximum(np.abs(ref), np.abs(ref).max(axis=1,
+                                                          keepdims=True)
+                            * 1e-6)
+    assert (np.abs(got - ref) <= tol + 1e-30).all(), \
+        np.abs(got - ref).max()
+    # and the zero slots stay exactly zero, nonzero slots stay nonzero
+    assert ((ref == 0) == (got == 0)).all()
+
+
 @pytest.mark.parametrize("smoother", ["jacobi", "chebyshev"])
 def test_mg_preconditioned_cg_poisson(smoother):
     n_levels = 3
