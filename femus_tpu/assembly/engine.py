@@ -36,6 +36,15 @@ from ..algebra.sparse import EllPattern, SparseOp, op_from_pattern, pattern_from
 
 GEO_FAMILY = "biquadratic"   # isoparametric geometry representation
 
+# Geometry einsums (coordinate contractions building J / physical points /
+# face tangents) run at HIGHEST MXU precision: DEFAULT's reduced-precision
+# passes round ABSOLUTE coordinates, and on fine meshes the rounding is
+# comparable to the element size — measured on the L4 nsbenc mesh (TPU
+# f32), 696 quadrature determinants came out exactly 0 and 18002 negative
+# (CPU f32: min |det| 6.8e-7, none negative), poisoning assembly with NaN.
+# Solution/basis interpolations keep DEFAULT (O(1)-conditioned data).
+_GEOM_PREC = jax.lax.Precision.HIGHEST
+
 
 @dataclasses.dataclass(frozen=True)
 class Unknown:
@@ -56,8 +65,9 @@ class ElemOps:
         gphi, gdphi = tabs[GEO_FAMILY]
         sdim = coords.shape[-1]
         # geometric map: J[q, d, x] = dx_x / dxi_d  (d: reference, x: ambient)
-        J = jnp.einsum("qnd,nx->qdx", gdphi, coords)
-        self.x = gphi @ coords                        # (nq, sdim) physical qp
+        J = jnp.einsum("qnd,nx->qdx", gdphi, coords, precision=_GEOM_PREC)
+        self.x = jnp.einsum("qn,nx->qx", gphi, coords,
+                            precision=_GEOM_PREC)     # (nq, sdim) physical qp
         self._phi = {f: t[0] for f, t in tabs.items()}
         if sdim == dim:
             detJ = jnp.linalg.det(J)
@@ -187,8 +197,9 @@ class ElemOpsBatched:
         self._tabs, self._weights, self.coords = tabs, weights, coords
         gphi, gdphi = tabs[GEO_FAMILY]
         sdim = coords.shape[1]
-        J = jnp.einsum("qnd,nxe->qdxe", gdphi, coords)
-        self.x = jnp.einsum("qn,nxe->qxe", gphi, coords)   # (nq, sdim, ne)
+        J = jnp.einsum("qnd,nxe->qdxe", gdphi, coords, precision=_GEOM_PREC)
+        self.x = jnp.einsum("qn,nxe->qxe", gphi, coords,
+                            precision=_GEOM_PREC)      # (nq, sdim, ne)
         self._phi = {f: t[0] for f, t in tabs.items()}
         if sdim == dim:
             detJ, invJ = _det_inv_batched(J)               # invJ[q, x, d, e]
@@ -259,9 +270,10 @@ class FaceOps:
 
     def __init__(self, tabs, weights, coords, dim, sign):
         gphi, gdphi = tabs[GEO_FAMILY]
-        self.x = gphi @ coords                            # (nq, dim)
+        self.x = jnp.einsum("qn,nx->qx", gphi, coords,
+                            precision=_GEOM_PREC)         # (nq, dim)
         # tangents: (nq, dim_f, dim)
-        T = jnp.einsum("qnd,nx->qdx", gdphi, coords)
+        T = jnp.einsum("qnd,nx->qdx", gdphi, coords, precision=_GEOM_PREC)
         if dim == 2:
             t = T[:, 0, :]                                # (nq, 2)
             ds = jnp.linalg.norm(t, axis=-1)
@@ -295,8 +307,9 @@ class VolumeFaceOps:
     def __init__(self, vtabs, ftabs, weights, ecoords, fcoords, dim, sign):
         # face geometry: normal + ds (same as FaceOps)
         gphi, gdphi = ftabs[GEO_FAMILY]
-        self.x = gphi @ fcoords
-        T = jnp.einsum("qnd,nx->qdx", gdphi, fcoords)
+        self.x = jnp.einsum("qn,nx->qx", gphi, fcoords,
+                            precision=_GEOM_PREC)
+        T = jnp.einsum("qnd,nx->qdx", gdphi, fcoords, precision=_GEOM_PREC)
         if dim == 2:
             t = T[:, 0, :]
             ds = jnp.linalg.norm(t, axis=-1)
@@ -313,7 +326,8 @@ class VolumeFaceOps:
         # volume trial space at the face qps
         self._vtabs = vtabs
         vgphi, vgdphi = vtabs[GEO_FAMILY]
-        Jv = jnp.einsum("qnd,nx->qxd", vgdphi, ecoords)   # (nq, dim, dim)
+        Jv = jnp.einsum("qnd,nx->qxd", vgdphi, ecoords,
+                        precision=_GEOM_PREC)             # (nq, dim, dim)
         self._invJ = jnp.linalg.inv(Jv)
         # characteristic face size for penalty scaling: measure^(1/(dim-1))
         measure = self.wds.sum()
