@@ -138,26 +138,26 @@ def test_fsi_k_cycle_beats_v_at_depth():
 
 
 @pytest.mark.skipif(not os.environ.get("FEMUS_HEAVY"),
-                    reason="~1h on the CPU test box (set FEMUS_HEAVY=1; "
+                    reason="~2h on the CPU test box (set FEMUS_HEAVY=1; "
                            "minutes-scale on TPU) — the reference golden "
                            "gate is a compiled C++ binary")
 def test_golden_fsi_through_own_mg_solver():
     """Full 4-level F-cycle through the own MG solver stack: Petrov-
-    Galerkin _RR transfers + K-cycle + material Vanka, against the
-    reference golden norms at level 3 (testFSISteady main.cpp:148-196).
+    Galerkin _RR transfers + 3+3-smoothed K-cycle + material Vanka,
+    against the reference golden norms at level 3 (testFSISteady
+    main.cpp:148-196).
 
-    The K-cycle keeps every Newton step STABLE at depth 4 (the V-cycle
-    needs hundreds of iterations and capped inexact Newton diverges
-    outright); with a 150-iteration FGMRES budget per step the linear
-    solves floor at rel ~1e-5, which bounds the achievable norm accuracy —
-    measured 2026-08: DX 4.0e-5, DY 1.3e-3, U 3.4e-3, V 1.4e-3, P 2.3e-2
-    absolute.  The gate asserts the budget-accuracy floor (x10 headroom);
-    the STRICT published tolerances are pinned by the LU-path
-    discretization gate (tests/test_golden_fsi.py) and the MG-vs-LU solver
-    gates above."""
-    # n_pre=n_post=3: measured on the ratcheted level-2 operator, 3+3
-    # smoothing inside the K-cycle reaches rel 2.0e-5 in 30 its vs 1.6e-4
-    # at 2+2 (8x) for +30% cycle cost — the strongest known config
+    Measured 2026-08 (tools/run_fsi_golden4.py, the validation run of this
+    exact configuration): linear solves floor at rel ~3e-6 on the 150-it
+    FGMRES budget and the norms land DX 5.98e-6, DY 1.68e-4, U 1.27e-4,
+    V 4.51e-5, P 2.09e-3 absolute — DX and V INSIDE testFSISteady's
+    published tolerances (1e-5/1e-4), U 1.3x out, DY 17x, P 21x (the
+    remaining gap is the per-step linear budget, not the discretization:
+    the LU-path gate tests/test_golden_fsi.py pins all five norms at the
+    published tolerances).  This gate asserts the measured values with
+    ~3x headroom, so any regression past the budget floor fails loudly;
+    strict_pass below records the published-tolerance scoreboard
+    explicitly."""
     prob, sys_ = fsi_bench.make_fsi_system(
         levels=4, mg_cycle="K", rtol=1e-7, max_nonlinear=6,
         cfg_overrides={"restart": 150, "max_outer": 1,
@@ -165,11 +165,18 @@ def test_golden_fsi_through_own_mg_solver():
     sys_.solve()
     asm = sys_.assemblers[-1]
     u = np.asarray(sys_.gather(-1))
-    budget_tol = {"DX": 4e-4, "DY": 1e-2, "U": 3e-2, "V": 1e-2, "P": 2e-1}
+    # measured-value pins (x~3 headroom on the 2026-08 validation run)
+    budget_tol = {"DX": 2e-5, "DY": 5e-4, "U": 4e-4, "V": 1.5e-4,
+                  "P": 6e-3}
+    strict = {}
     for k in ("DX", "DY", "U", "V", "P"):
-        got = fsi_bench.var_norm(asm, u, k)
-        assert abs(got - fsi_bench.GOLD[k]) < budget_tol[k], (k, got)
+        err = abs(fsi_bench.var_norm(asm, u, k) - fsi_bench.GOLD[k])
+        assert err < budget_tol[k], (k, err)
+        strict[k] = err < fsi_bench.TOL[k]
+    # published-tolerance scoreboard: DX and V must hold strictly (they
+    # did in the validation run); the others are known budget-limited
+    assert strict["DX"] and strict["V"], strict
     # every Newton step's linear solve must have CONTRACTED (stability —
     # the pre-K stack exploded here)
     for h in sys_.history:
-        assert np.isfinite(h["lin_res"]) and h["lin_res"] < 1e-2, h
+        assert np.isfinite(h["lin_res"]) and h["lin_res"] < 1e-3, h
