@@ -253,7 +253,7 @@ class PatchStencilOp:
 
     def to_dense(self) -> jnp.ndarray:
         n = self.n_rows
-        return jax.vmap(self.matvec, in_axes=1, out_axes=1)(
+        return jax.vmap(self._matvec_xla, in_axes=1, out_axes=1)(
             jnp.eye(n, dtype=self.wt.dtype))
 
 
@@ -297,6 +297,16 @@ class BlockPatchStencilOp:
                               self.meta[:7])
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        # TPU: fused per-(vr, vc) patch kernels — pays once each pair's wt
+        # slab dominates the launches (measured: slower at H=17 where the
+        # XLA whole-program fusion wins, faster at H>=33)
+        H, _, Pp = self.meta[0], self.meta[1], self.meta[2]
+        pair_bytes = K * H * H * Pp * 4
+        if jax.default_backend() == "tpu" and pair_bytes >= 8 << 20:
+            return spmv_block_patch_pallas(self, x)
+        return self._matvec_xla(x)
+
+    def _matvec_xla(self, x: jnp.ndarray) -> jnp.ndarray:
         H = self.meta[0]
         nb = self.meta[6]
         nv = self.nv
@@ -328,7 +338,7 @@ class BlockPatchStencilOp:
 
     def to_dense(self) -> jnp.ndarray:
         n = self.n_rows
-        return jax.vmap(self.matvec, in_axes=1, out_axes=1)(
+        return jax.vmap(self._matvec_xla, in_axes=1, out_axes=1)(
             jnp.eye(n, dtype=self.wt.dtype))
 
 
@@ -345,38 +355,41 @@ class BlockPatchStencilOp:
 # ---------------------------------------------------------------------------
 
 
-def spmv_patch_pallas(op: PatchStencilOp, x: jnp.ndarray) -> jnp.ndarray:
-    """y = A x with the patch-chunked fused kernel (falls back to the XLA
-    path off-TPU)."""
-    if jax.default_backend() != "tpu":
-        return op._matvec_xla(x)
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    H, P, Pp, E, n_edges, n_verts, n = op.meta
-    CP = 128
-    n_chunks = Pp // CP
+def _patch_inputs(meta, G_face, M_cs, x):
+    """x -> blocked patch inputs (interior lattice, routed face lines,
+    routed corners) — tiny dots + one pad each, shared by the scalar and
+    block fused paths."""
+    H, P, Pp, E, n_edges, n_verts, n = meta
     dt = x.dtype
     n_int = E * E * P
-
-    # ---- outside: x -> blocked patch inputs (tiny dots, one pad each) ----
     xi = jnp.zeros((E, E, Pp), dt).at[:, :, :P].set(
         x[:n_int].reshape(E, E, P))
     xe = x[n_int:n_int + E * n_edges].reshape(E, n_edges)
     xef = jnp.concatenate([xe, xe[::-1, :]], axis=1)
     lines = jnp.zeros((E, 4, Pp), dt).at[:, :, :P].set(
-        (xef @ op.G_face.astype(dt)).reshape(E, 4, P))
+        (xef @ G_face.astype(dt)).reshape(E, 4, P))
     xv = x[n_int + E * n_edges:]
     cv = jnp.zeros((4, Pp), dt).at[:, :P].set(
-        (op.M_cs.astype(dt) @ xv).reshape(4, P))
+        (M_cs.astype(dt) @ xv).reshape(4, P))
+    return xi, lines, cv
 
-    # offset-group blocking keeps the wt slab chunk inside VMEM at any H
-    # (a full-25-offset chunk is ~14 MB at H=33); the kb grid dim is MINOR
-    # so the revisited output blocks stay resident while Y accumulates
+
+def _patch_chunk_call(wt, xi, lines, cv, meta):
+    """The fused kernel proper: one pass over a (K, H, H, Pp) wt slab —
+    in-VMEM X-window assembly, the 25 shifted multiply-adds (offset-group
+    grid dim keeps the chunk inside VMEM at any H), boundary extraction.
+    Returns the per-patch partials (interior, boundary lines, corners)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, P, Pp, E, n_edges, n_verts, n = meta
+    CP = 128
+    n_chunks = Pp // CP
+    dt = xi.dtype
     KB = max(1, min(K, int(3.0e6 / (H * H * CP * 4))))
     n_kb = -(-K // KB)
-    wt_pad = op.wt if n_kb * KB == K else jnp.concatenate(
-        [op.wt, jnp.zeros((n_kb * KB - K, H, H, Pp), op.wt.dtype)], axis=0)
+    wt_pad = wt if n_kb * KB == K else jnp.concatenate(
+        [wt, jnp.zeros((n_kb * KB - K, H, H, Pp), wt.dtype)], axis=0)
 
     def kernel(wt_ref, xi_ref, ln_ref, cv_ref, yi_ref, yl_ref, yc_ref):
         kb = pl.program_id(1)
@@ -417,7 +430,7 @@ def spmv_patch_pallas(op: PatchStencilOp, x: jnp.ndarray) -> jnp.ndarray:
 
         pl.run_scoped(body, X=pltpu.VMEM((H + 4, H + 4, CP), dt))
 
-    yi, yl, yc = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n_chunks, n_kb),
         in_specs=[
@@ -440,13 +453,54 @@ def spmv_patch_pallas(op: PatchStencilOp, x: jnp.ndarray) -> jnp.ndarray:
             dimension_semantics=("arbitrary", "arbitrary")),
     )(wt_pad, xi, lines, cv)
 
-    # ---- outside: skeleton combination (same algebra as _collect) -------
+
+def _patch_combine(meta, G_edge, M_vs, yi, yl, yc):
+    """Per-patch partials -> global vector (same algebra as _collect)."""
+    H, P, Pp, E, n_edges, n_verts, n = meta
+    dt = yi.dtype
+    n_int = E * E * P
     y_int = yi[:, :, :P].reshape(n_int)
     lf = yl[:, :, :P].reshape(E, 4 * P)
     lfl = jnp.concatenate([lf, lf[::-1, :]], axis=1)
-    y_e = lfl @ op.G_edge.astype(dt)
-    y_v = op.M_vs.astype(dt) @ yc[:, :P].reshape(-1)
+    y_e = lfl @ G_edge.astype(dt)
+    y_v = M_vs.astype(dt) @ yc[:, :P].reshape(-1)
     return jnp.concatenate([y_int, y_e.reshape(-1), y_v])
+
+
+def spmv_patch_pallas(op: PatchStencilOp, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A x with the patch-chunked fused kernel (falls back to the XLA
+    path off-TPU)."""
+    if jax.default_backend() != "tpu":
+        return op._matvec_xla(x)
+    yi, yl, yc = _patch_chunk_call(
+        op.wt, *_patch_inputs(op.meta, op.G_face, op.M_cs, x), op.meta)
+    return _patch_combine(op.meta, op.G_edge, op.M_vs, yi, yl, yc)
+
+
+def spmv_block_patch_pallas(op: "BlockPatchStencilOp",
+                            x: jnp.ndarray) -> jnp.ndarray:
+    """Block (nv-variable) fused patch SpMV: one kernel launch per
+    (row-var, col-var) stencil pair streaming that pair's wt slab once;
+    the x routing is built once per column variable and the per-patch
+    partials accumulate before a single skeleton combination per row
+    variable."""
+    if jax.default_backend() != "tpu":
+        return op._matvec_xla(x)
+    meta7 = op.meta[:7]
+    nb = op.meta[6]
+    nv = op.nv
+    inputs = [_patch_inputs(meta7, op.G_face, op.M_cs,
+                            x[vc * nb:(vc + 1) * nb]) for vc in range(nv)]
+    out = []
+    for vr in range(nv):
+        acc = None
+        for vc in range(nv):
+            wt_pair = op.wt[(vr * nv + vc) * K:(vr * nv + vc + 1) * K]
+            parts = _patch_chunk_call(wt_pair, *inputs[vc], meta7)
+            acc = parts if acc is None else tuple(
+                a + b for a, b in zip(acc, parts))
+        out.append(_patch_combine(meta7, op.G_edge, op.M_vs, *acc))
+    return jnp.concatenate(out)
 
 
 def dirichlet_eliminate_block(op: BlockPatchStencilOp, dir_mask: jnp.ndarray,
