@@ -197,7 +197,16 @@ class ElemOpsBatched:
         self._tabs, self._weights, self.coords = tabs, weights, coords
         gphi, gdphi = tabs[GEO_FAMILY]
         sdim = coords.shape[1]
-        J = jnp.einsum("qnd,nxe->qdxe", gdphi, coords, precision=_GEOM_PREC)
+        # center per element before the MXU contraction: sum_n dphi = 0, so
+        # subtracting the element mean leaves J exact while shrinking the
+        # contraction operands from absolute-coordinate to element-size
+        # scale — the reduced-precision passes then carry ~h * 1e-6
+        # absolute error instead of |x| * 1e-6 (which reached the element
+        # size on fine meshes); combined with _GEOM_PREC this keeps dets
+        # sign-accurate at any refinement depth
+        cmean = coords.mean(axis=0, keepdims=True)
+        J = jnp.einsum("qnd,nxe->qdxe", gdphi, coords - cmean,
+                       precision=_GEOM_PREC)
         self.x = jnp.einsum("qn,nxe->qxe", gphi, coords,
                             precision=_GEOM_PREC)      # (nq, sdim, ne)
         self._phi = {f: t[0] for f, t in tabs.items()}

@@ -39,9 +39,11 @@ def test_jax_distributed_two_process_halo_spmv():
 
 
 def test_halo_step_avoids_krylov_allgather():
-    """The halo-routed sharded step's HLO moves ghosts with all-to-all; the
-    XLA-partitioned fallback needs full all-gathers for the x[cols] gather.
-    Compare collective counts between the two lowerings."""
+    """The halo-routed sharded step's HLO moves ghosts with the explicit
+    static schedule — collective-permute (banded offset transport, the r5
+    default) or all-to-all (dense fallback); the XLA-partitioned fallback
+    needs full all-gathers for the x[cols] gather.  Compare collective
+    counts between the two lowerings."""
     from femus_tpu.assembly.bc import apply_dirichlet_values, generate_bdc
     from femus_tpu.assembly.engine import Assembler, Unknown
     from femus_tpu.assembly.forms import poisson
@@ -71,10 +73,11 @@ def test_halo_step_avoids_krylov_allgather():
         assert float(res) < 1e-7
     # identical solutions through both communication paths
     assert np.allclose(sols[True], sols[False], atol=1e-9)
-    n_a2a = texts[True].count("all-to-all")
+    n_explicit = (texts[True].count("all-to-all")
+                  + texts[True].count("collective-permute"))
     n_ag_halo = texts[True].count("all-gather(")
     n_ag_xla = texts[False].count("all-gather(")
-    assert n_a2a >= 1, "halo path lost its all_to_all"
+    assert n_explicit >= 1, "halo path lost its explicit ghost collective"
     assert n_ag_halo < n_ag_xla, (n_ag_halo, n_ag_xla)
 
     # blocked-ELL local layout (the TPU fast path): same solution again
